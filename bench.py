@@ -1,0 +1,124 @@
+"""Benchmark: wavelength-solves/sec on one TPU chip.
+
+Headline config matches the reference's published timing anchor
+(``BASELINE.md``): plane-parallel discrete ordinates, 100 layers,
+2 streams, 40 single-scatter moments, forced 2 azimuth modes, 1 LOS,
+WITH full Jacobians (d radiance / d extinction, ssa, albedo, ...) —
+reference: 58.4 ms per wavelength on one CPU thread (~17 solves/s).
+
+We run the identical physics on one TPU chip with the wavelength axis as
+the batch dimension, Jacobians by reverse-mode autodiff, and report
+wavelength-solves/sec. ``vs_baseline`` is the speedup over the reference's
+17 solves/s/thread. A 16-stream north-star number is included in "extra".
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _build(nstr, W, P=100, L=40, dtype=None):
+    import jax
+    import jax.numpy as jnp
+
+    from sasktran2_tpu.rt import disco
+
+    dtype = dtype or jnp.float32
+    rng = np.random.default_rng(1)
+    alts = np.linspace(0, 100000, P + 1)
+    ext_prof = 7e-5 * np.exp(-alts / 7000.0)
+
+    # layer inputs direct (TOA first)
+    k_lo = ext_prof[:-1]
+    k_hi = ext_prof[1:]
+    dz = np.diff(alts)
+    dtau_prof = (0.5 * (k_lo + k_hi) * dz)[::-1]
+    dtau = np.broadcast_to(dtau_prof, (W, P)) * rng.uniform(0.8, 1.2, (W, 1))
+    omega = np.full((W, P), 0.9)
+    ls = np.arange(L)
+    beta = np.broadcast_to(
+        (2 * ls + 1) * 0.5**ls, (W, P, L)
+    )
+    albedo = np.full((W,), 0.3)
+
+    mu0 = 0.6
+    user_mu = np.array([0.8])
+    user_up = np.array([True])
+    user_azi = np.array([0.0])
+    tables = disco.build_mode_tables(nstr, L, mu0, user_mu, num_azimuth=2)
+
+    inputs = {
+        "dtau": jnp.asarray(dtau, dtype=dtype),
+        "omega": jnp.asarray(omega, dtype=dtype),
+        "beta": jnp.asarray(beta, dtype=dtype),
+        "albedo": jnp.asarray(albedo, dtype=dtype),
+    }
+
+    def per_wavelength(inp):
+        def rad_fn(x):
+            return disco.solve_plane_parallel(
+                x["dtau"][None],
+                x["omega"][None],
+                x["beta"][None],
+                x["albedo"][None],
+                tables,
+                user_up,
+                user_azi,
+            )[0]
+
+        rad, vjp = jax.vjp(rad_fn, inp)
+        seeds = jnp.eye(rad.shape[0], dtype=rad.dtype)
+        grads = jax.vmap(vjp)(seeds)[0]
+        return rad, grads
+
+    fn = jax.jit(jax.vmap(per_wavelength))
+    return fn, inputs
+
+
+def _time_solves(fn, inputs, repeats=5):
+    import jax
+
+    out = fn(inputs)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = fn(inputs)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / repeats
+    return dt
+
+
+def main():
+    W = 4096
+    fn2, in2 = _build(2, W)
+    dt2 = _time_solves(fn2, in2)
+    solves2 = W / dt2
+
+    W16 = 1024
+    fn16, in16 = _build(16, W16)
+    dt16 = _time_solves(fn16, in16)
+    solves16 = W16 / dt16
+
+    baseline_2str = 17.0  # ref CPU thread, 100 lyr, 2 str, with Jacobians
+    print(
+        json.dumps(
+            {
+                "metric": "wavelength-solves/sec/chip (100 layers, 2 streams, Jacobians)",
+                "value": round(solves2, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(solves2 / baseline_2str, 2),
+                "extra": {
+                    "solves_per_sec_16stream_jac": round(solves16, 1),
+                    "batch_2str": W,
+                    "batch_16str": W16,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Batched linear-algebra and stable-exponential primitives for the RT solvers.
+
+These replace the reference's LAPACK banded solves and hand-coded stable
+exponential-difference expressions (``/root/reference/cpp/include/
+sktran_disco/sktran_do_postprocessing.h:19-127`` and the pentadiagonal solver
+``sktran_do_pentadiagonal.cpp:4-111``) with TPU-friendly batched forms:
+everything carries arbitrary leading batch dimensions and compiles to fused
+XLA element-wise code plus small batched matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def ediff(a, b, delta):
+    """Stable ``(exp(-a*delta) - exp(-b*delta)) / (b - a)``.
+
+    This is the first divided difference ``f[a, b]`` (negated) of
+    ``f(x) = exp(-x*delta)`` and equals ``int_0^delta exp(-a t) exp(-b (delta-t)) dt``.
+    Always positive for a, b >= 0. Near ``a == b`` it switches to a series
+    expansion around the midpoint so both the value and its derivatives stay
+    finite and smooth under autodiff.
+    """
+    a, b, delta = jnp.broadcast_arrays(a, b, delta)
+    diff = b - a
+    mid = 0.5 * (a + b)
+    x = diff * delta  # small parameter
+    emid = jnp.exp(-mid * delta)
+    # exact: exp(-a d) - exp(-b d) = emid * (exp(x/2) - exp(-x/2)) = 2 emid sinh(x/2)
+    # ratio = 2 emid sinh(x/2) / x ; series: emid * (1 + x^2/24 + x^4/1920)
+    small = jnp.abs(x) < 1e-3
+    safe_x = jnp.where(small, 1.0, x)
+    exact = emid * 2.0 * jnp.sinh(safe_x / 2.0) / safe_x * delta
+    series = emid * delta * (1.0 + x * x / 24.0 * (1.0 + x * x / 80.0))
+    return jnp.where(small, series, exact)
+
+
+def ddiff2(a, b, c, delta):
+    """Stable second divided difference of ``f(x) = exp(-x*delta)`` over the
+    nodes (a, b, c):  ``f[a,b,c] = (f[a,b] - f[b,c]) / (a - c)`` where
+    ``f[x,y] = (e^{-x d} - e^{-y d})/(x - y)``.
+
+    Equals ``int`` of the doubly-convolved exponential and is symmetric in its
+    arguments; always positive for non-negative nodes. Switches to a series
+    when all three nodes cluster.
+    """
+    a, b, c, delta = jnp.broadcast_arrays(a, b, c, delta)
+    # f[a,b] = -ediff(a,b)/1 ... careful: f[a,b] = (f(a)-f(b))/(a-b)
+    #        = (e^{-ad}-e^{-bd})/(a-b) = -ediff(a,b,delta)
+    fab = -ediff(a, b, delta)
+    fbc = -ediff(b, c, delta)
+    ac = a - c
+    spread = jnp.maximum(jnp.maximum(a, b), c) - jnp.minimum(jnp.minimum(a, b), c)
+    small = spread * delta < 1e-2
+    safe_ac = jnp.where(jnp.abs(ac) < 1e-300, 1.0, ac)
+    exact = (fab - fbc) / safe_ac
+    mean = (a + b + c) / 3.0
+    # series: f[a,b,c] ~ d^2/2 e^{-mean d} (1 + O(spread d))
+    series = 0.5 * delta * delta * jnp.exp(-mean * delta)
+    return jnp.where(small, series, exact)
+
+
+def block_tridiag_solve(lower, diag, upper, rhs):
+    """Solve a batched block-tridiagonal system with the block-Thomas scan.
+
+    System: ``lower[p] @ x[p-1] + diag[p] @ x[p] + upper[p] @ x[p+1] = rhs[p]``
+    for ``p = 0..P-1`` (``lower[0]`` and ``upper[P-1]`` ignored).
+
+    Shapes: lower/diag/upper ``[..., P, K, K]``, rhs ``[..., P, K]`` where
+    leading dims are batch. Returns ``x`` with the shape of ``rhs``.
+
+    Each elimination step is a batched KxK LU solve + matmul, which XLA maps
+    onto the MXU; the scan is sequential over the layer axis only, matching
+    the intrinsic data dependence of the boundary-value problem (the
+    reference solves the same structure with LAPACK ``dgbsv``,
+    ``sktran_do_rte.cpp:1640-1810``).
+    """
+    # Move the layer axis to the front for lax.scan.
+    P = diag.shape[-3]
+    perm = lambda x, nd: jnp.moveaxis(x, -nd, 0)
+    low = jnp.moveaxis(lower, -3, 0)
+    dia = jnp.moveaxis(diag, -3, 0)
+    upp = jnp.moveaxis(upper, -3, 0)
+    r = jnp.moveaxis(rhs, -2, 0)
+
+    def fwd(carry, inputs):
+        cprime_prev, dprime_prev, first = carry
+        lo, di, up, rh = inputs
+        # denom = diag - lower @ cprime_prev  (skip for first row)
+        denom = di - jnp.where(first, 0.0, 1.0) * (lo @ cprime_prev)
+        new_rhs = rh - jnp.where(first, 0.0, 1.0) * jnp.einsum(
+            "...ij,...j->...i", lo, dprime_prev
+        )
+        lu, piv = jax.scipy.linalg.lu_factor(denom)
+        cprime = jax.scipy.linalg.lu_solve((lu, piv), up)
+        dprime = jax.scipy.linalg.lu_solve((lu, piv), new_rhs[..., None])[..., 0]
+        return (cprime, dprime, jnp.zeros_like(first)), (cprime, dprime)
+
+    K = diag.shape[-1]
+    batch_shape = jnp.broadcast_shapes(diag.shape[:-3], rhs.shape[:-2])
+    c0 = jnp.zeros(batch_shape + (K, K), dtype=diag.dtype)
+    d0 = jnp.zeros(batch_shape + (K,), dtype=rhs.dtype)
+    first = jnp.ones((), dtype=diag.dtype)
+    (_, _, _), (cprimes, dprimes) = jax.lax.scan(
+        fwd, (c0, d0, first), (low, dia, upp, r)
+    )
+
+    def bwd(x_next, inputs):
+        cprime, dprime, last = inputs
+        x = dprime - jnp.where(last, 0.0, 1.0) * jnp.einsum(
+            "...ij,...j->...i", cprime, x_next
+        )
+        return x, x
+
+    last_flags = jnp.zeros((P,), dtype=diag.dtype).at[P - 1].set(1.0)
+    xP = jnp.zeros(batch_shape + (K,), dtype=rhs.dtype)
+    _, xs = jax.lax.scan(
+        bwd, xP, (cprimes, dprimes, last_flags), reverse=True
+    )
+    return jnp.moveaxis(xs, 0, -2)
+
+
+def pentadiag_solve(bands, rhs):
+    """Solve a batched pentadiagonal system (5 bands) — the ``nstr == 2``
+    specialization of the BVP, mirroring the reference's pivot-free sweep
+    (``sktran_do_pentadiagonal.cpp:4-111``).
+
+    ``bands``: tuple (a, b, d, e, f) each ``[..., n]`` giving the 2nd-sub,
+    1st-sub, main, 1st-super, 2nd-super diagonals (first/last entries of
+    sub/super bands ignored as appropriate). ``rhs``: ``[..., n]``.
+
+    Currently implemented via the block-tridiagonal kernel with 2x2 blocks
+    (n must be even) — the same sequential structure with batched 2x2
+    inverses. A fused Pallas version can replace this hot path later.
+    """
+    a, b, d, e, f = bands
+    n = d.shape[-1]
+    if n % 2 != 0:
+        msg = "pentadiag_solve requires even system size"
+        raise ValueError(msg)
+    P = n // 2
+    batch = d.shape[:-1]
+
+    def band_to_blocks(a, b, d, e, f):
+        # Build [..., P, 2, 2] diag blocks and off-diag blocks from bands.
+        # Row 2p   : [d, e] on diag block, [f, 0] upper, [a, b] lower
+        # Row 2p+1 : [b, d] on diag block, [e, f] upper, [0, a] lower
+        ar = a.reshape(*batch, P, 2)
+        br = b.reshape(*batch, P, 2)
+        dr = d.reshape(*batch, P, 2)
+        er = e.reshape(*batch, P, 2)
+        fr = f.reshape(*batch, P, 2)
+        z = jnp.zeros_like(dr[..., 0])
+        diag = jnp.stack(
+            [
+                jnp.stack([dr[..., 0], er[..., 0]], axis=-1),
+                jnp.stack([br[..., 1], dr[..., 1]], axis=-1),
+            ],
+            axis=-2,
+        )
+        upper = jnp.stack(
+            [
+                jnp.stack([fr[..., 0], z], axis=-1),
+                jnp.stack([er[..., 1], fr[..., 1]], axis=-1),
+            ],
+            axis=-2,
+        )
+        lower = jnp.stack(
+            [
+                jnp.stack([ar[..., 0], br[..., 0]], axis=-1),
+                jnp.stack([z, ar[..., 1]], axis=-1),
+            ],
+            axis=-2,
+        )
+        return lower, diag, upper
+
+    lower, diag, upper = band_to_blocks(a, b, d, e, f)
+    x = block_tridiag_solve(lower, diag, upper, rhs.reshape(*batch, P, 2))
+    return x.reshape(*batch, n)

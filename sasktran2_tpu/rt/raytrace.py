@@ -1,0 +1,373 @@
+"""Host-side spherical-shell and plane-parallel ray tracing.
+
+The reference traces rays in C++/Rust (``/root/reference/cpp/lib/raytracing/
+spherical_shell.cpp``, ``rust/sasktran2-core/src/raytracer/trace.rs``) into
+per-ray ``TracedLayer`` lists. On TPU the geometry is *static*: rays are
+traced once on the host in float64 numpy and compiled into dense, padded
+weight tables that turn every optical-depth integral into a single batched
+matrix multiply against the extinction profile:
+
+    seg_od[ray, seg] = sum_alt od_weights[ray, seg, alt] * k[alt]      (LOS)
+    sun_od[ray, seg] = sum_alt sun_weights[ray, seg, alt] * k[alt]     (beam)
+
+Segments are ordered from the far end of the ray toward the observer
+(matching the reference convention, ``types.rs:31-49``), padded to a static
+maximum count with zero weights.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class TracedRays:
+    """Static padded per-ray tables (numpy, built once per geometry).
+
+    S = max segments per ray; A = number of altitude levels.
+
+    od_weights : [R, S, A] maps level extinction -> segment OD
+    sun_weights : [R, S+1, A] maps level extinction -> OD toward the sun
+        from each segment *boundary* (entrance of each segment, plus the
+        observer-side end), used by single scatter at quadrature points
+    interp_weights : [R, S+1, A] linear interpolation of any level quantity
+        onto segment boundaries
+    lengths : [R, S] geometric segment lengths [m]
+    mask : [R, S] 1.0 for real segments
+    cos_scatter : [R, S+1] cosine of the scattering angle (sun -> LOS
+        direction) at segment boundaries
+    cos_zenith : [R, S+1] local zenith cosine of the LOS propagation
+        direction at segment boundaries (+1 = travelling straight up)
+    cos_sza : [R, S+1] local cosine solar zenith at segment boundaries
+    ground_hit : [R] bool
+    ground_cos_sza / ground_cos_vza / ground_relazi : [R] surface-reflection
+        geometry for rays hitting the ground
+    tangent_altitude : [R] (nan for non-limb rays)
+    """
+
+    od_weights: np.ndarray
+    sun_weights: np.ndarray
+    interp_weights: np.ndarray
+    lengths: np.ndarray
+    mask: np.ndarray
+    cos_scatter: np.ndarray
+    cos_zenith: np.ndarray
+    cos_sza: np.ndarray
+    ground_hit: np.ndarray
+    ground_cos_sza: np.ndarray
+    ground_cos_vza: np.ndarray
+    ground_relazi: np.ndarray
+    tangent_altitude: np.ndarray
+
+
+def _shell_path_length(r_shell, rt, s_far, s_near):
+    """Path length within a shell for a straight ray with tangent radius rt.
+
+    Distance along ray from tangent point to radius r: l(r) = sqrt(r^2-rt^2).
+    """
+    return np.sqrt(np.maximum(r_shell**2 - rt**2, 0.0))
+
+
+def _interp_weights_at_radius(r, radii):
+    """Linear interpolation weights of a radius onto the level grid."""
+    A = len(radii)
+    w = np.zeros(A)
+    if r <= radii[0]:
+        w[0] = 1.0
+    elif r >= radii[-1]:
+        w[-1] = 1.0
+    else:
+        j = np.searchsorted(radii, r) - 1
+        f = (r - radii[j]) / (radii[j + 1] - radii[j])
+        w[j] = 1.0 - f
+        w[j + 1] = f
+    return w
+
+
+def _sun_od_weights(r, cos_sza_local, radii, earth_radius):
+    """OD-to-sun weight row: straight path from radius r toward the sun
+    (local cos SZA) out the top of the atmosphere, integrating linearly
+    interpolated extinction across shells.
+
+    Returns [A] weights such that sun_od = weights . extinction_levels.
+    Rays that would pass below the surface return large weights on the
+    bottom level (the transmission then underflows to zero).
+    """
+    A = len(radii)
+    w = np.zeros(A)
+    # Tangent radius of the solar ray
+    sin_sza = np.sqrt(max(1.0 - cos_sza_local**2, 0.0))
+    rt = r * sin_sza
+    if cos_sza_local < 0.0 and rt <= earth_radius:
+        # sun below horizon: fully attenuated
+        w[0] = 1e10
+        return w
+
+    def leg(r_from, r_to):
+        # integrate between two radii along the slant path (outgoing branch)
+        nonlocal w
+        jf = np.clip(np.searchsorted(radii, r_from, side="right") - 1, 0, A - 2)
+        jt = np.clip(np.searchsorted(radii, r_to, side="right") - 1, 0, A - 2)
+        # walk shells from r_from up to r_to
+        r0 = r_from
+        for j in range(jf, jt + 1):
+            r1 = min(radii[j + 1], r_to)
+            if r1 <= r0:
+                continue
+            l0 = np.sqrt(max(r0**2 - rt**2, 0.0))
+            l1 = np.sqrt(max(r1**2 - rt**2, 0.0))
+            ds = l1 - l0
+            rm = 0.5 * (r0 + r1)
+            wr = _interp_weights_at_radius(rm, radii)
+            w += ds * wr
+            r0 = r1
+
+    if cos_sza_local >= 0.0:
+        # outgoing only: from r to TOA
+        leg(r, radii[-1])
+    else:
+        # descend to tangent radius then ascend to TOA
+        leg(max(rt, radii[0]), r)  # descending branch has same lengths
+        leg(max(rt, radii[0]), radii[-1])
+    return w
+
+
+def trace_spherical(
+    altitude_grid_m: np.ndarray,
+    earth_radius_m: float,
+    cos_sza_ref: float,
+    rays,
+    nsub: int = 1,
+) -> TracedRays:
+    """Trace a set of viewing-geometry rays through 1D spherical shells.
+
+    ``rays`` is a list of viewing-geometry policy objects
+    (:mod:`sasktran2_tpu.viewinggeo`). Shell boundaries coincide with the
+    altitude grid; each traversed shell produces one segment (``nsub``
+    reserved for future sub-layering).
+
+    The solar geometry follows the reference's single-SZA-per-ray model for
+    limb rays (``TangentAltitudeSolar`` carries cos_sza at the tangent
+    point); plane-parallel-style variation of SZA along the ray is applied
+    via the local-angle geometry of the straight line.
+    """
+    from ..viewinggeo import (
+        GroundViewingSolar,
+        SolarAnglesObserverLocation,
+        TangentAltitudeSolar,
+    )
+
+    radii = earth_radius_m + np.asarray(altitude_grid_m, dtype=np.float64)
+    A = len(radii)
+    R = len(rays)
+    S = 2 * (A - 1)  # worst case: limb ray through all shells twice
+
+    od_weights = np.zeros((R, S, A))
+    sun_weights = np.zeros((R, S + 1, A))
+    interp_weights = np.zeros((R, S + 1, A))
+    lengths = np.zeros((R, S))
+    mask = np.zeros((R, S))
+    cos_scatter = np.zeros((R, S + 1))
+    cos_zenith = np.zeros((R, S + 1))
+    cos_sza_b = np.zeros((R, S + 1))
+    ground_hit = np.zeros(R, dtype=bool)
+    g_cos_sza = np.zeros(R)
+    g_cos_vza = np.zeros(R)
+    g_relazi = np.zeros(R)
+    tangent_alt = np.full(R, np.nan)
+
+    for ri, ray in enumerate(rays):
+        if isinstance(ray, TangentAltitudeSolar):
+            rt = earth_radius_m + ray.tangent_altitude_m
+            tangent_alt[ri] = ray.tangent_altitude_m
+            cos_sza0 = ray.cos_sza
+            relazi = ray.relative_azimuth
+            _trace_limb(
+                ri, rt, radii, earth_radius_m, cos_sza0, relazi,
+                od_weights, sun_weights, interp_weights, lengths, mask,
+                cos_scatter, cos_zenith, cos_sza_b,
+            )
+        elif isinstance(ray, (GroundViewingSolar, SolarAnglesObserverLocation)):
+            muv = ray.cos_viewing_zenith
+            if isinstance(ray, GroundViewingSolar) or muv < 0.0:
+                # downward-looking: ray hits the ground
+                mu_abs = abs(muv)
+                ground_hit[ri] = True
+                g_cos_sza[ri] = ray.cos_sza
+                g_cos_vza[ri] = mu_abs
+                g_relazi[ri] = ray.relative_azimuth
+                _trace_nadir(
+                    ri, mu_abs, radii, earth_radius_m, ray.cos_sza,
+                    ray.relative_azimuth, True,
+                    od_weights, sun_weights, interp_weights, lengths, mask,
+                    cos_scatter, cos_zenith, cos_sza_b,
+                )
+            else:
+                _trace_nadir(
+                    ri, muv, radii, earth_radius_m, ray.cos_sza,
+                    ray.relative_azimuth, False,
+                    od_weights, sun_weights, interp_weights, lengths, mask,
+                    cos_scatter, cos_zenith, cos_sza_b,
+                )
+        else:
+            msg = f"Unsupported ray policy for spherical tracing: {type(ray)}"
+            raise NotImplementedError(msg)
+
+    return TracedRays(
+        od_weights=od_weights,
+        sun_weights=sun_weights,
+        interp_weights=interp_weights,
+        lengths=lengths,
+        mask=mask,
+        cos_scatter=cos_scatter,
+        cos_zenith=cos_zenith,
+        cos_sza=cos_sza_b,
+        ground_hit=ground_hit,
+        ground_cos_sza=g_cos_sza,
+        ground_cos_vza=g_cos_vza,
+        ground_relazi=g_relazi,
+        tangent_altitude=tangent_alt,
+    )
+
+
+def _scatter_cosine(cos_zen_los, cos_sza, relazi):
+    """Cosine of the angle between the (propagation) LOS direction and the
+    direction *toward* the sun photons travel (downward with cos -cos_sza),
+    i.e. cos Theta = dir_los . dir_from_sun."""
+    sin_zen = np.sqrt(max(1.0 - cos_zen_los**2, 0.0))
+    sin_sza = np.sqrt(max(1.0 - cos_sza**2, 0.0))
+    # incoming solar propagation direction has vertical component -cos_sza
+    return -cos_zen_los * cos_sza + sin_zen * sin_sza * np.cos(relazi)
+
+
+def _trace_limb(
+    ri, rt, radii, re, cos_sza0, relazi,
+    od_weights, sun_weights, interp_weights, lengths, mask,
+    cos_scatter, cos_zenith, cos_sza_b,
+):
+    """Limb ray: enters at TOA, descends to tangent point, ascends to TOA.
+
+    Segments ordered from the far end (TOA on the sun-far side) toward the
+    observer. Boundary b sits at the entrance of segment s (far side);
+    boundary S is the observer-side TOA crossing.
+    """
+    A = len(radii)
+    # shells crossed: those with radius > rt
+    jt = np.searchsorted(radii, rt)  # first level index above tangent
+    # descending branch: shells A-1 -> jt ; ascending: jt -> A-1
+    desc = list(range(A - 1, jt - 1, -1))  # level indices at boundaries
+    path_levels = desc + list(reversed(desc))[1:]
+    # boundary radii along the ray from far TOA to near TOA, with the
+    # tangent point approximated by the deepest level crossing (plus exact
+    # tangent radius inserted)
+    bounds = [radii[j] for j in desc] + [rt] + [radii[j] for j in reversed(desc)]
+    signs = [-1.0] * (len(desc)) + [+1.0] * (len(desc))  # direction: down then up
+    nseg = len(bounds) - 1
+    s_out = 0
+    for s in range(nseg):
+        r0, r1 = bounds[s], bounds[s + 1]
+        lo, hi = min(r0, r1), max(r0, r1)
+        l0 = np.sqrt(max(lo**2 - rt**2, 0.0))
+        l1 = np.sqrt(max(hi**2 - rt**2, 0.0))
+        ds = l1 - l0
+        if ds <= 0.0:
+            continue
+        rm = 0.5 * (lo + hi)
+        od_weights[ri, s_out] = ds * _interp_weights_at_radius(rm, radii)
+        lengths[ri, s_out] = ds
+        mask[ri, s_out] = 1.0
+        # boundary s (entrance of this segment, far side)
+        _fill_boundary(
+            ri, s_out, bounds[s], signs[s], rt, radii, re, cos_sza0, relazi,
+            sun_weights, interp_weights, cos_scatter, cos_zenith, cos_sza_b,
+        )
+        s_out += 1
+    # observer-side boundary
+    _fill_boundary(
+        ri, s_out, bounds[-1], +1.0, rt, radii, re, cos_sza0, relazi,
+        sun_weights, interp_weights, cos_scatter, cos_zenith, cos_sza_b,
+    )
+
+
+def _fill_boundary(
+    ri, b, r, sign, rt, radii, re, cos_sza0, relazi,
+    sun_weights, interp_weights, cos_scatter, cos_zenith, cos_sza_b,
+):
+    # local zenith cosine of propagation (toward observer): |cos| from
+    # geometry, signed by travel direction (descending = negative)
+    mu_local = sign * np.sqrt(max(1.0 - (rt / max(r, rt)) ** 2, 0.0))
+    cos_zenith[ri, b] = mu_local
+    # single-SZA model (reference limb default): constant cos_sza along ray
+    cos_sza_b[ri, b] = cos_sza0
+    cos_scatter[ri, b] = _scatter_cosine(mu_local, cos_sza0, relazi)
+    interp_weights[ri, b] = _interp_weights_at_radius(r, radii)
+    sun_weights[ri, b] = _sun_od_weights(r, cos_sza0, radii, re)
+
+
+def _trace_nadir(
+    ri, mu_abs, radii, re, cos_sza, relazi, downward,
+    od_weights, sun_weights, interp_weights, lengths, mask,
+    cos_scatter, cos_zenith, cos_sza_b,
+):
+    """Ground-viewing (downward) or upward-looking ray through all shells.
+
+    For a downward-looking observer above the atmosphere the far end is the
+    ground; segments run ground -> TOA... actually ordered from far end
+    (ground) toward the observer (TOA). For upward-looking ground observer,
+    far end is TOA.
+
+    Straight-line spherical geometry: with observer zenith mu at the ground
+    (or given reference location), the local zenith cosine varies with
+    radius as mu(r) = sqrt(1 - (rt/r)^2), rt = r_ref sin(zen).
+    """
+    A = len(radii)
+    r_ref = radii[0] if downward else radii[0]
+    sin_v = np.sqrt(max(1.0 - mu_abs**2, 0.0))
+    rt = r_ref * sin_v  # tangent radius of the extended line (below surface)
+
+    # boundaries from ground (far, for downward) to TOA
+    bounds = list(radii)
+    nseg = A - 1
+    for s in range(nseg):
+        lo, hi = bounds[s], bounds[s + 1]
+        l0 = np.sqrt(max(lo**2 - rt**2, 0.0))
+        l1 = np.sqrt(max(hi**2 - rt**2, 0.0))
+        ds = l1 - l0
+        rm = 0.5 * (lo + hi)
+        if downward:
+            # far end = ground: segment order bottom-up
+            sidx = s
+            sgn = +1.0  # photons travel upward toward observer
+        else:
+            # far end = TOA: segment order top-down
+            sidx = nseg - 1 - s
+            sgn = -1.0  # photons travel downward toward ground observer
+        od_weights[ri, sidx] = ds * _interp_weights_at_radius(rm, radii)
+        lengths[ri, sidx] = ds
+        mask[ri, sidx] = 1.0
+        # boundary[sidx] = far-side entrance of segment sidx
+        boundary_r = lo if downward else hi
+        bidx = sidx
+        mu_b = sgn * np.sqrt(max(1.0 - (rt / boundary_r) ** 2, 0.0))
+        cos_zenith[ri, bidx] = mu_b
+        cos_sza_b[ri, bidx] = cos_sza
+        cos_scatter[ri, bidx] = _scatter_cosine(mu_b, cos_sza, relazi)
+        interp_weights[ri, bidx] = _interp_weights_at_radius(boundary_r, radii)
+        sun_weights[ri, bidx] = _sun_od_weights(boundary_r, cos_sza, radii, re)
+    # the remaining boundary (observer side): TOA for downward-looking,
+    # ground for upward-looking
+    bidx = nseg
+    if downward:
+        boundary_r = radii[-1]
+        sgn = +1.0
+    else:
+        boundary_r = radii[0]
+        sgn = -1.0
+    mu_b = sgn * np.sqrt(max(1.0 - (rt / boundary_r) ** 2, 0.0))
+    cos_zenith[ri, bidx] = mu_b
+    cos_sza_b[ri, bidx] = cos_sza
+    cos_scatter[ri, bidx] = _scatter_cosine(mu_b, cos_sza, relazi)
+    interp_weights[ri, bidx] = _interp_weights_at_radius(boundary_r, radii)
+    sun_weights[ri, bidx] = _sun_od_weights(boundary_r, cos_sza, radii, re)

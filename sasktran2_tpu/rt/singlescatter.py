@@ -1,0 +1,138 @@
+"""Exact single scatter source + Beer-Lambert LOS integration.
+
+Replaces the reference's per-quadrature-point C++ single-scatter kernels
+(``/root/reference/cpp/lib/solar/singlescattersource.cpp:60-777``) with fully
+vectorized JAX over (wavelength x ray x segment):
+
+ * segment and solar optical depths are dense matmuls of static ray-tracing
+   weight tables against the extinction profile;
+ * the phase function at each segment boundary is a Legendre-coefficient
+   contraction with static ``P_l(cos Theta)`` tables;
+ * per-layer integration uses the reference's endpoint-blended constant
+   source model ``(1 - e^-od)/od * (J_in + J_out)/2 * ds``
+   (``singlescattersource.cpp:565-612``);
+ * the along-ray accumulation ``I = sum_s J_s exp(-tau_closer)`` is a
+   cumulative-sum weighting, not a sequential scan.
+
+All functions are differentiable w.r.t. extinction / ssa / legendre /
+albedo, giving weighting functions by autodiff.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.wigner import legendre_p
+from .raytrace import TracedRays
+
+
+def phase_tables(traced: TracedRays, nlegendre: int) -> np.ndarray:
+    """P_l(cos Theta) at every segment boundary: [R, S+1, L] (static)."""
+    return np.moveaxis(
+        legendre_p(traced.cos_scatter, nlegendre), 0, -1
+    )
+
+
+def integrate_single_scatter(
+    extinction,
+    ssa,
+    leg_coeff,
+    albedo,
+    traced: TracedRays,
+    phase_tab,
+    emission=None,
+    include_emission: bool = False,
+):
+    """Single-scatter (+optional thermal emission) radiance for every ray.
+
+    Parameters
+    ----------
+    extinction : [W, A] per-level extinction [1/m] (W = wavelength batch)
+    ssa : [W, A] single scatter albedo at levels
+    leg_coeff : [W, A, L] Legendre coefficients (beta_0 = 1)
+    albedo : [W] Lambertian surface albedo
+    traced : static ray tables
+    phase_tab : [R, S+1, L] static P_l(cos Theta) tables
+    emission : optional [W, A] emission source (radiance units)
+
+    Returns
+    -------
+    radiance [W, R] (sun-normalized, F0 = 1)
+    """
+    odw = jnp.asarray(traced.od_weights, dtype=extinction.dtype)
+    sunw = jnp.asarray(traced.sun_weights, dtype=extinction.dtype)
+    intw = jnp.asarray(traced.interp_weights, dtype=extinction.dtype)
+    lengths = jnp.asarray(traced.lengths, dtype=extinction.dtype)
+    mask = jnp.asarray(traced.mask, dtype=extinction.dtype)
+    pt = jnp.asarray(phase_tab, dtype=extinction.dtype)
+
+    # [W, R, S] segment OD along LOS ; [W, R, S+1] OD to sun at boundaries
+    seg_od = jnp.einsum("rsa,wa->wrs", odw, extinction)
+    sun_od = jnp.einsum("rba,wa->wrb", sunw, extinction)
+    t_sun = jnp.exp(-jnp.minimum(sun_od, 300.0))
+
+    # level scattering extinction interpolated to boundaries
+    kscat = extinction * ssa  # [W, A]
+    kscat_b = jnp.einsum("rba,wa->wrb", intw, kscat)
+    # phase at boundaries: sum_l beta_l(boundary) P_l(cos Theta)
+    # beta interpolated onto boundaries as scattering-weighted mean
+    beta_b = jnp.einsum(
+        "rba,wal->wrbl", intw, leg_coeff * kscat[..., None]
+    ) / jnp.maximum(kscat_b[..., None], 1e-300)
+    phase_b = jnp.einsum("wrbl,rbl->wrb", beta_b, pt)
+
+    # J per unit length at boundaries (source toward the observer)
+    j_b = kscat_b * phase_b / (4.0 * jnp.pi) * t_sun
+    if include_emission and emission is not None:
+        k_b = jnp.einsum("rba,wa->wrb", intw, extinction)
+        kabs_b = k_b - kscat_b
+        j_b = j_b + kabs_b * jnp.einsum("rba,wa->wrb", intw, emission)
+
+    # endpoint blend: segment s has entrance boundary s (far) and exit
+    # boundary s+1 (near the observer)
+    j_in = j_b[..., :-1]
+    j_out = j_b[..., 1:]
+    od = jnp.maximum(seg_od, 0.0)
+    source_factor = jnp.where(
+        od < 1e-12, 1.0 - 0.5 * od, -jnp.expm1(-od) / jnp.maximum(od, 1e-12)
+    )
+    seg_src = source_factor * 0.5 * (j_in + j_out) * lengths * mask
+
+    # attenuate by the OD between each segment and the observer: segments
+    # are ordered far -> near, so the OD closer to the observer is the
+    # suffix sum of seg_od (excluding self)
+    od_m = seg_od * mask
+    closer = jnp.flip(jnp.cumsum(jnp.flip(od_m, axis=-1), axis=-1), axis=-1) - od_m
+    radiance = jnp.sum(seg_src * jnp.exp(-closer), axis=-1)
+
+    # ground reflection of the direct beam at the far end (ground-hitting
+    # rays): Lambertian rho * mu0 * T_sun(ground) / pi attenuated along the
+    # full LOS
+    ground = jnp.asarray(traced.ground_hit, dtype=extinction.dtype)
+    mu0_g = jnp.asarray(
+        np.maximum(traced.ground_cos_sza, 0.0), dtype=extinction.dtype
+    )
+    t_sun_ground = t_sun[..., 0]  # boundary 0 = far end = ground for those rays
+    total_od = jnp.sum(od_m, axis=-1)
+    ground_term = (
+        ground * albedo[..., None] * mu0_g * t_sun_ground / jnp.pi
+    ) * jnp.exp(-total_od)
+    return radiance + ground_term
+
+
+def optical_depth(extinction, traced: TracedRays):
+    """Total LOS optical depth per ray: [W, R] (reference
+    ``SourceIntegrator::integrate_optical_depth``)."""
+    odw = jnp.asarray(traced.od_weights, dtype=extinction.dtype)
+    mask = jnp.asarray(traced.mask, dtype=extinction.dtype)
+    seg_od = jnp.einsum("rsa,wa->wrs", odw, extinction)
+    return jnp.sum(seg_od * mask, axis=-1)
+
+
+def occultation_radiance(extinction, traced: TracedRays):
+    """Occultation source: transmission of a unit source at the far end of
+    every non-ground ray (reference ``cpp/lib/solar/occultation.cpp``)."""
+    od = optical_depth(extinction, traced)
+    not_ground = 1.0 - jnp.asarray(traced.ground_hit, dtype=extinction.dtype)
+    return jnp.exp(-od) * not_ground
