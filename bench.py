@@ -79,16 +79,24 @@ def _build(nstr, W, P=100, L=40, dtype=None):
 
 
 def _time_solves(fn, inputs, repeats=5):
+    """Median wall time per call. Inputs are perturbed every call — the
+    tunnel runtime caches identical-input executions, which would otherwise
+    produce fantasy numbers."""
     import jax
 
     out = fn(inputs)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = fn(inputs)
+    times = []
+    for i in range(repeats):
+        inp = dict(inputs)
+        inp["dtau"] = inputs["dtau"] * (1.0 + 1e-4 * (i + 1))
+        jax.block_until_ready(inp["dtau"])
+        t0 = time.perf_counter()
+        out = fn(inp)
         jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / repeats
-    return dt
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
 
 
 def main():

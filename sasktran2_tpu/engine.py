@@ -87,6 +87,8 @@ class Engine:
         if self._needs_ss_exact:
             self._phase_tab = singlescatter.phase_tables(self._traced, nleg)
 
+        self._do_groups = []
+        self._limb_groups = []
         if self._needs_do:
             self._build_do_tables()
 
@@ -103,14 +105,11 @@ class Engine:
         independent solves (the reference's SZA grid, ``do_source.cpp:35``).
         """
         groups = {}
+        limb_groups = {}
         for i, ray in enumerate(self._rays):
             if isinstance(ray, TangentAltitudeSolar):
-                msg = (
-                    "Limb (TangentAltitudeSolar) rays with a multiple-scatter "
-                    "source require the interpolated DO source "
-                    "(not yet wired); use ground/nadir viewing for now"
-                )
-                raise NotImplementedError(msg)
+                limb_groups.setdefault(float(ray.cos_sza), []).append(i)
+                continue
             if isinstance(ray, (GroundViewingSolar, SolarAnglesObserverLocation)):
                 mu0 = float(ray.cos_sza)
                 up = (
@@ -141,6 +140,23 @@ class Engine:
                 self._do_nstr, nleg_ms, mu0, user_mu, num_azimuth=num_azi
             )
             self._do_groups.append((idx, tables, user_up, user_azi))
+
+        # Limb rays: DO solve per SZA group + analytic source evaluation
+        # along the traced spherical rays (reference interpolated DO source,
+        # ``do_source_interpolated_pp.cpp``)
+        self._limb_groups = []
+        if limb_groups:
+            from .rt import do_source
+
+            self._ray_ms_tables = do_source.build_ray_angular_tables(
+                self._traced, nleg_ms, num_azi
+            )
+            for mu0, idx in limb_groups.items():
+                tables = disco.build_mode_tables(
+                    self._do_nstr, nleg_ms, mu0, np.array([0.5]),
+                    num_azimuth=num_azi,
+                )
+                self._limb_groups.append((np.array(idx), tables))
 
     # ------------------------------------------------------------------
     def _layer_optical(self, extinction, ssa, leg_coeff):
@@ -196,6 +212,9 @@ class Engine:
             rad = rad + singlescatter.occultation_radiance(ext, self._traced)[0]
 
         if self._needs_do:
+            from .rt import do_source as do_source_mod
+            from .rt.singlescatter import integrate_od_source
+
             dtau, omega, beta = self._layer_optical(ext, ssa, leg)
             chapman = self._chapman_factors(ext.dtype)
             for idx, tables, user_up, user_azi in self._do_groups:
@@ -205,6 +224,21 @@ class Engine:
                     chapman=chapman.get(tables.mu0),
                 )[0]
                 rad = rad.at[jnp.asarray(idx)].add(r)
+
+            for idx, tables in self._limb_groups:
+                _, internal = disco.solve_plane_parallel(
+                    dtau, omega, beta, alb, tables,
+                    np.array([True]), np.array([0.0]),
+                    include_ss=self._do_include_ss,
+                    chapman=chapman.get(tables.mu0),
+                    return_internal=True,
+                )
+                j_in, j_out = do_source_mod.ms_source_along_rays(
+                    internal, self._traced, self._ray_ms_tables,
+                    include_ss=self._do_include_ss,
+                )
+                ms_rad = integrate_od_source(ext, j_in, j_out, self._traced)[0]
+                rad = rad.at[jnp.asarray(idx)].add(ms_rad[jnp.asarray(idx)])
 
         return rad * core["solar_irradiance"]
 

@@ -534,6 +534,16 @@ def _solve_one_mode(
         include_ss,
     )
 
+    internal = {
+        "k": k,
+        "x": x,
+        "y": y,
+        "coeff_l": coeff_l,
+        "coeff_m": coeff_m,
+        "c_minus": c_minus,
+        "c_plus": c_plus,
+    }
+
     # Level diffuse fields at layer tops + ground (for fluxes / SO init)
     e = jnp.exp(-k * dtau[..., None])
     ip_plus_top = jnp.einsum("...pia,...pa->...pi", y, phi_pt)
@@ -567,7 +577,7 @@ def _solve_one_mode(
         "i_plus_bot": i_plus_bot,
         "i_minus_bot": i_minus_bot,
     }
-    return rad, levels
+    return rad, levels, internal
 
 
 def solve_plane_parallel(
@@ -582,6 +592,7 @@ def solve_plane_parallel(
     chapman=None,
     num_azimuth: int | None = None,
     return_levels: bool = False,
+    return_internal: bool = False,
 ):
     """Solve the multi-azimuth discrete-ordinates problem for a batch of
     wavelengths in a (pseudo-)spherical-beam plane-parallel atmosphere.
@@ -648,7 +659,7 @@ def solve_plane_parallel(
             albedo, mu, w, mu0, user_mu, user_up, include_ss,
         )
 
-    rad_modes, levels = jax.vmap(run_mode, in_axes=(0, 0, 0, 0, 0))(
+    rad_modes, levels, internal = jax.vmap(run_mode, in_axes=(0, 0, 0, 0, 0))(
         m_indices, lam, lam_sun, lam_user, parity
     )
     # azimuth synthesis: I(u) = sum_m I_m(u) cos(m * dphi_u)
@@ -656,6 +667,21 @@ def solve_plane_parallel(
     # rad_modes: [M, ..., U]
     radiance = jnp.einsum("m...u,mu->...u", rad_modes, cosines)
 
+    if return_internal:
+        internal = dict(internal)
+        internal["levels"] = levels  # [M, ..., P, N] per-mode level fields
+        internal["t_top"] = t_top
+        internal["sbar"] = sbar
+        internal["t_ground"] = t_ground
+        internal["dtau"] = dtau
+        internal["omega"] = jnp.minimum(omega, SSA_CEILING)
+        internal["beta"] = beta
+        internal["lam"] = lam
+        internal["lam_sun"] = lam_sun
+        internal["parity"] = parity
+        internal["mu0"] = mu0
+        internal["w_quad"] = w
+        return radiance, internal
     if return_levels:
         level0 = jax.tree_util.tree_map(lambda v: v[0], levels)
         return radiance, level0

@@ -45,6 +45,12 @@ class TracedRays:
     ground_cos_sza / ground_cos_vza / ground_relazi : [R] surface-reflection
         geometry for rays hitting the ground
     tangent_altitude : [R] (nan for non-limb rays)
+    seg_layer : [R, S] int, TOA-first layer index containing each segment
+        (for evaluating layer-resolved multiple-scatter source functions)
+    seg_entrance_frac / seg_exit_frac : [R, S] fractional depth of the
+        segment entrance/exit within the layer, 0 at the layer top and 1 at
+        the layer bottom
+    boundary_relazi : [R, S+1] relative solar azimuth at each boundary
     """
 
     od_weights: np.ndarray
@@ -60,6 +66,10 @@ class TracedRays:
     ground_cos_vza: np.ndarray
     ground_relazi: np.ndarray
     tangent_altitude: np.ndarray
+    seg_layer: np.ndarray
+    seg_entrance_frac: np.ndarray
+    seg_exit_frac: np.ndarray
+    boundary_relazi: np.ndarray
 
 
 def _shell_path_length(r_shell, rt, s_far, s_near):
@@ -177,6 +187,10 @@ def trace_spherical(
     g_cos_vza = np.zeros(R)
     g_relazi = np.zeros(R)
     tangent_alt = np.full(R, np.nan)
+    seg_layer = np.zeros((R, S), dtype=np.int64)
+    seg_entrance_frac = np.zeros((R, S))
+    seg_exit_frac = np.zeros((R, S))
+    boundary_relazi = np.zeros((R, S + 1))
 
     for ri, ray in enumerate(rays):
         if isinstance(ray, TangentAltitudeSolar):
@@ -188,6 +202,7 @@ def trace_spherical(
                 ri, rt, radii, earth_radius_m, cos_sza0, relazi,
                 od_weights, sun_weights, interp_weights, lengths, mask,
                 cos_scatter, cos_zenith, cos_sza_b,
+                seg_layer, seg_entrance_frac, seg_exit_frac, boundary_relazi,
             )
         elif isinstance(ray, (GroundViewingSolar, SolarAnglesObserverLocation)):
             muv = ray.cos_viewing_zenith
@@ -203,6 +218,7 @@ def trace_spherical(
                     ray.relative_azimuth, True,
                     od_weights, sun_weights, interp_weights, lengths, mask,
                     cos_scatter, cos_zenith, cos_sza_b,
+                    seg_layer, seg_entrance_frac, seg_exit_frac, boundary_relazi,
                 )
             else:
                 _trace_nadir(
@@ -210,6 +226,7 @@ def trace_spherical(
                     ray.relative_azimuth, False,
                     od_weights, sun_weights, interp_weights, lengths, mask,
                     cos_scatter, cos_zenith, cos_sza_b,
+                    seg_layer, seg_entrance_frac, seg_exit_frac, boundary_relazi,
                 )
         else:
             msg = f"Unsupported ray policy for spherical tracing: {type(ray)}"
@@ -229,6 +246,10 @@ def trace_spherical(
         ground_cos_vza=g_cos_vza,
         ground_relazi=g_relazi,
         tangent_altitude=tangent_alt,
+        seg_layer=seg_layer,
+        seg_entrance_frac=seg_entrance_frac,
+        seg_exit_frac=seg_exit_frac,
+        boundary_relazi=boundary_relazi,
     )
 
 
@@ -246,6 +267,7 @@ def _trace_limb(
     ri, rt, radii, re, cos_sza0, relazi,
     od_weights, sun_weights, interp_weights, lengths, mask,
     cos_scatter, cos_zenith, cos_sza_b,
+    seg_layer, seg_entrance_frac, seg_exit_frac, boundary_relazi,
 ):
     """Limb ray: enters at TOA, descends to tangent point, ascends to TOA.
 
@@ -265,6 +287,7 @@ def _trace_limb(
     bounds = [radii[j] for j in desc] + [rt] + [radii[j] for j in reversed(desc)]
     signs = [-1.0] * (len(desc)) + [+1.0] * (len(desc))  # direction: down then up
     nseg = len(bounds) - 1
+    P = len(radii) - 1
     s_out = 0
     for s in range(nseg):
         r0, r1 = bounds[s], bounds[s + 1]
@@ -278,22 +301,34 @@ def _trace_limb(
         od_weights[ri, s_out] = ds * _interp_weights_at_radius(rm, radii)
         lengths[ri, s_out] = ds
         mask[ri, s_out] = 1.0
+        j = int(np.clip(np.searchsorted(radii, rm) - 1, 0, P - 1))
+        seg_layer[ri, s_out] = P - 1 - j
+        dz_l = radii[j + 1] - radii[j]
+        seg_entrance_frac[ri, s_out] = np.clip(
+            (radii[j + 1] - bounds[s]) / dz_l, 0.0, 1.0
+        )
+        seg_exit_frac[ri, s_out] = np.clip(
+            (radii[j + 1] - bounds[s + 1]) / dz_l, 0.0, 1.0
+        )
         # boundary s (entrance of this segment, far side)
         _fill_boundary(
             ri, s_out, bounds[s], signs[s], rt, radii, re, cos_sza0, relazi,
             sun_weights, interp_weights, cos_scatter, cos_zenith, cos_sza_b,
+            boundary_relazi,
         )
         s_out += 1
     # observer-side boundary
     _fill_boundary(
         ri, s_out, bounds[-1], +1.0, rt, radii, re, cos_sza0, relazi,
         sun_weights, interp_weights, cos_scatter, cos_zenith, cos_sza_b,
+        boundary_relazi,
     )
 
 
 def _fill_boundary(
     ri, b, r, sign, rt, radii, re, cos_sza0, relazi,
     sun_weights, interp_weights, cos_scatter, cos_zenith, cos_sza_b,
+    boundary_relazi,
 ):
     # local zenith cosine of propagation (toward observer): |cos| from
     # geometry, signed by travel direction (descending = negative)
@@ -304,12 +339,14 @@ def _fill_boundary(
     cos_scatter[ri, b] = _scatter_cosine(mu_local, cos_sza0, relazi)
     interp_weights[ri, b] = _interp_weights_at_radius(r, radii)
     sun_weights[ri, b] = _sun_od_weights(r, cos_sza0, radii, re)
+    boundary_relazi[ri, b] = relazi
 
 
 def _trace_nadir(
     ri, mu_abs, radii, re, cos_sza, relazi, downward,
     od_weights, sun_weights, interp_weights, lengths, mask,
     cos_scatter, cos_zenith, cos_sza_b,
+    seg_layer, seg_entrance_frac, seg_exit_frac, boundary_relazi,
 ):
     """Ground-viewing (downward) or upward-looking ray through all shells.
 
@@ -356,6 +393,12 @@ def _trace_nadir(
         cos_scatter[ri, bidx] = _scatter_cosine(mu_b, cos_sza, relazi)
         interp_weights[ri, bidx] = _interp_weights_at_radius(boundary_r, radii)
         sun_weights[ri, bidx] = _sun_od_weights(boundary_r, cos_sza, radii, re)
+        # bottom-up layer s -> TOA-first; the photon enters at the layer
+        # bottom when travelling upward (downward-looking observer)
+        seg_layer[ri, sidx] = (nseg - 1) - s
+        seg_entrance_frac[ri, sidx] = 1.0 if downward else 0.0
+        seg_exit_frac[ri, sidx] = 0.0 if downward else 1.0
+        boundary_relazi[ri, bidx] = relazi
     # the remaining boundary (observer side): TOA for downward-looking,
     # ground for upward-looking
     bidx = nseg
@@ -371,3 +414,4 @@ def _trace_nadir(
     cos_scatter[ri, bidx] = _scatter_cosine(mu_b, cos_sza, relazi)
     interp_weights[ri, bidx] = _interp_weights_at_radius(boundary_r, radii)
     sun_weights[ri, bidx] = _sun_od_weights(boundary_r, cos_sza, radii, re)
+    boundary_relazi[ri, bidx] = relazi

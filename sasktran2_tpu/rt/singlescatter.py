@@ -121,6 +121,24 @@ def integrate_single_scatter(
     return radiance + ground_term
 
 
+def integrate_od_source(extinction, j_in, j_out, traced: TracedRays):
+    """Integrate a per-unit-optical-depth source along the traced rays:
+    I = sum_s T_closer(s) (1 - e^{-dtau_s}) (J_in + J_out)/2.
+
+    j_in/j_out: [W, R, S] source at segment entrance/exit; extinction
+    [W, A]. Same endpoint-blended constant-source model as the reference
+    (``source_algorithms.cpp:5-19``). Returns [W, R].
+    """
+    odw = jnp.asarray(traced.od_weights, dtype=extinction.dtype)
+    mask = jnp.asarray(traced.mask, dtype=extinction.dtype)
+    seg_od = jnp.einsum("rsa,wa->wrs", odw, extinction)
+    od_m = seg_od * mask
+    factor = -jnp.expm1(-od_m)
+    seg_src = factor * 0.5 * (j_in + j_out) * mask
+    closer = jnp.flip(jnp.cumsum(jnp.flip(od_m, axis=-1), axis=-1), axis=-1) - od_m
+    return jnp.sum(seg_src * jnp.exp(-closer), axis=-1)
+
+
 def optical_depth(extinction, traced: TracedRays):
     """Total LOS optical depth per ray: [W, R] (reference
     ``SourceIntegrator::integrate_optical_depth``)."""
