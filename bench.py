@@ -78,23 +78,35 @@ def _build(nstr, W, P=100, L=40, dtype=None):
     return fn, inputs
 
 
-def _time_solves(fn, inputs, repeats=5):
-    """Median wall time per call. Inputs are perturbed every call — the
-    tunnel runtime caches identical-input executions, which would otherwise
-    produce fantasy numbers."""
+def _checksum(out):
+    """Host-transfer a scalar derived from every output — the only reliable
+    synchronization through the device tunnel (block_until_ready can return
+    before remote execution completes, and identical-input executions are
+    cached)."""
     import jax
 
-    out = fn(inputs)
-    jax.block_until_ready(out)
+    leaves = jax.tree_util.tree_leaves(out)
+    total = 0.0
+    for leaf in leaves:
+        total += float(leaf.ravel()[0])
+    return total
+
+
+def _time_solves(fn, inputs, repeats=5):
+    """Median wall time per call with fresh input values every call and a
+    host-sync on the result."""
+    import time as _t
+
+    _checksum(fn(inputs))
     times = []
     for i in range(repeats):
         inp = dict(inputs)
         inp["dtau"] = inputs["dtau"] * (1.0 + 1e-4 * (i + 1))
-        jax.block_until_ready(inp["dtau"])
-        t0 = time.perf_counter()
+        _ = float(inp["dtau"].ravel()[0])
+        t0 = _t.perf_counter()
         out = fn(inp)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
+        _checksum(out)
+        times.append(_t.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
 

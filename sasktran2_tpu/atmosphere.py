@@ -168,11 +168,13 @@ class Surface:
 
     def __init__(self, nwavel):
         self.albedo = np.zeros(nwavel)
+        self.emission = np.zeros(nwavel)
         self._derivative_mappings: dict[str, SurfaceDerivativeMapping] = {}
         self._nwavel = nwavel
 
     def set_zero(self):
         self.albedo[:] = 0
+        self.emission[:] = 0
 
     def get_derivative_mapping(self, name) -> SurfaceDerivativeMapping:
         if name not in self._derivative_mappings:
@@ -361,6 +363,7 @@ class Atmosphere:
             # -> [W, A, L]
             "albedo": self.surface.albedo.copy(),  # [W]
             "emission": np.ascontiguousarray(s.emission_source.T),  # [W, A]
+            "surface_emission": self.surface.emission.copy(),  # [W]
             "solar_irradiance": s.solar_irradiance.copy(),  # [W]
         }
         return core

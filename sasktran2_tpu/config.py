@@ -37,6 +37,9 @@ class EmissionSource(enum.Enum):
 
     Standard = "standard"
     NoSource = "none"
+    DiscreteOrdinates = "discrete_ordinates"
+    VolumeEmissionRate = "volume_emission_rate"
+    TwoStream = "twostream"
 
 
 class OccultationSource(enum.Enum):

@@ -53,6 +53,9 @@ class Engine:
         self._geometry = geometry
         self._viewing = viewing_geometry
         self._rays = list(viewing_geometry.observer_rays)
+        self._flux_observers = list(
+            getattr(viewing_geometry, "flux_observers", [])
+        )
         if len(self._rays) == 0:
             msg = "viewing_geometry contains no rays"
             raise ValueError(msg)
@@ -89,6 +92,7 @@ class Engine:
 
         self._do_groups = []
         self._limb_groups = []
+        self._flux_groups = []
         if self._needs_do:
             self._build_do_tables()
 
@@ -140,6 +144,35 @@ class Engine:
                 self._do_nstr, nleg_ms, mu0, user_mu, num_azimuth=num_azi
             )
             self._do_groups.append((idx, tables, user_up, user_azi))
+
+        # Flux observers: per-SZA DO solves evaluated at the observer
+        # altitudes (reference FluxObserverSolar, do_source_planeparallel.cpp
+        # flux loop)
+        self._flux_groups = []
+        alts = self._geometry.altitudes()
+        P = len(alts) - 1
+        for mu0 in sorted({float(o.cos_sza) for o in self._flux_observers}):
+            obs = [
+                (i, o.observer_altitude_m)
+                for i, o in enumerate(self._flux_observers)
+                if float(o.cos_sza) == mu0
+            ]
+            idx = np.array([e[0] for e in obs])
+            # interpolation of level-boundary quantities (TOA-first levels:
+            # boundary b at altitude alts[::-1][b]) onto observer altitudes
+            from .util.interpolation import linear_interpolating_matrix
+
+            level_alts_toa_first = alts[::-1]
+            interp = linear_interpolating_matrix(
+                level_alts_toa_first[::-1],
+                np.array([e[1] for e in obs]),
+                "extend",
+            )[:, ::-1]  # [nobs, P+1] in TOA-first boundary order
+            tables = disco.build_mode_tables(
+                self._do_nstr, self._do_nstr, mu0, np.array([0.5]),
+                num_azimuth=1,
+            )
+            self._flux_groups.append((idx, tables, interp))
 
         # Limb rays: DO solve per SZA group + analytic source evaluation
         # along the traced spherical rays (reference interpolated DO source,
@@ -198,14 +231,27 @@ class Engine:
         alb = core["albedo"][None]
         emis = core["emission"][None, :]
 
+        f0 = core["solar_irradiance"]
+        surf_em = core.get("surface_emission", jnp.zeros_like(alb[..., 0]))
+
         nlos = len(self._rays)
         rad = jnp.zeros((nlos,), dtype=ext.dtype)
 
         if self._needs_ss_exact:
-            rad = rad + singlescatter.integrate_single_scatter(
+            # exact single scatter is solar-driven: scales with F0
+            rad = rad + f0 * singlescatter.integrate_single_scatter(
                 ext, ssa, leg, alb, self._traced, self._phase_tab,
-                emission=emis,
-                include_emission=cfg.emission_source.name == "Standard",
+            )[0]
+
+        from .config import EmissionSource
+
+        emission_standard = cfg.emission_source == EmissionSource.Standard
+        emission_do = cfg.emission_source in (
+            EmissionSource.DiscreteOrdinates, EmissionSource.TwoStream,
+        )
+        if emission_standard:
+            rad = rad + singlescatter.emission_radiance(
+                ext, ssa, emis, alb, surf_em[None], self._traced
             )[0]
 
         if cfg.occultation_source == OccultationSource.Standard:
@@ -216,12 +262,25 @@ class Engine:
             from .rt.singlescatter import integrate_od_source
 
             dtau, omega, beta = self._layer_optical(ext, ssa, leg)
+            thermal_kw = {}
+            if emission_do:
+                # level emission -> (B at layer top, B at layer bottom),
+                # TOA-first layer ordering
+                b_top = emis[..., 1:][..., ::-1]
+                b_bot = emis[..., :-1][..., ::-1]
+                thermal_kw = {
+                    "thermal_b0": b_top,
+                    "thermal_b1_bottom": b_bot,
+                    "surface_emission": surf_em[None],
+                }
             chapman = self._chapman_factors(ext.dtype)
             for idx, tables, user_up, user_azi in self._do_groups:
                 r = disco.solve_plane_parallel(
                     dtau, omega, beta, alb, tables, user_up, user_azi,
                     include_ss=self._do_include_ss,
                     chapman=chapman.get(tables.mu0),
+                    f0=f0,
+                    **thermal_kw,
                 )[0]
                 rad = rad.at[jnp.asarray(idx)].add(r)
 
@@ -232,6 +291,8 @@ class Engine:
                     include_ss=self._do_include_ss,
                     chapman=chapman.get(tables.mu0),
                     return_internal=True,
+                    f0=f0,
+                    **thermal_kw,
                 )
                 j_in, j_out = do_source_mod.ms_source_along_rays(
                     internal, self._traced, self._ray_ms_tables,
@@ -240,7 +301,90 @@ class Engine:
                 ms_rad = integrate_od_source(ext, j_in, j_out, self._traced)[0]
                 rad = rad.at[jnp.asarray(idx)].add(ms_rad[jnp.asarray(idx)])
 
-        return rad * core["solar_irradiance"]
+        return rad
+
+    def _flux_single_wavelength(self, core):
+        """Fluxes [ntypes, nobs] for one wavelength (m=0 stream sums of the
+        DO field at the flux-observer altitudes; reference flux loop,
+        ``do_source_planeparallel.cpp:536-560``)."""
+        from .config import EmissionSource, FluxType
+
+        cfg = self._config
+        ext = core["extinction"][None, :]
+        ssa = core["ssa"][None, :]
+        leg = core["leg_coeff"][None, :, :]
+        alb = core["albedo"][None]
+        emis = core["emission"][None, :]
+        f0 = core["solar_irradiance"]
+        surf_em = core.get("surface_emission", jnp.zeros_like(alb[..., 0]))
+
+        emission_do = cfg.emission_source in (
+            EmissionSource.DiscreteOrdinates, EmissionSource.TwoStream,
+        )
+        dtau, omega, beta = self._layer_optical(ext, ssa, leg)
+        thermal_kw = {}
+        if emission_do:
+            thermal_kw = {
+                "thermal_b0": emis[..., 1:][..., ::-1],
+                "thermal_b1_bottom": emis[..., :-1][..., ::-1],
+                "surface_emission": surf_em[None],
+            }
+        chapman = self._chapman_factors(ext.dtype)
+
+        nobs = len(self._flux_observers)
+        ntypes = len(cfg.flux_types)
+        flux = jnp.zeros((ntypes, nobs), dtype=ext.dtype)
+        two_pi = 2.0 * jnp.pi
+        mu = None
+        for idx, tables, interp in self._flux_groups:
+            _, internal = disco.solve_plane_parallel(
+                dtau, omega, beta, alb, tables,
+                np.array([True]), np.array([0.0]),
+                include_ss=self._do_include_ss,
+                chapman=chapman.get(tables.mu0),
+                return_internal=True,
+                f0=f0,
+                num_azimuth=1,
+                **thermal_kw,
+            )
+            lv = internal["levels"]
+            w = internal["w_quad"]
+            muq = jnp.asarray(tables.mu, dtype=ext.dtype)
+            # boundary fields TOA-first: tops of each layer + ground
+            ip = jnp.concatenate(
+                [lv["i_plus_top"][0], lv["i_plus_bot"][0][..., -1:, :]],
+                axis=-2,
+            )[0]  # [P+1, N]
+            im = jnp.concatenate(
+                [lv["i_minus_top"][0], lv["i_minus_bot"][0][..., -1:, :]],
+                axis=-2,
+            )[0]
+            t_b = jnp.concatenate(
+                [internal["t_top"][0], internal["t_ground"][0][None]], axis=-1
+            )  # [P+1]
+            wmu = w * muq
+            f_up = two_pi * ip @ wmu
+            f_dn_diff = two_pi * im @ wmu
+            direct = (
+                tables.mu0 * f0 * t_b if self._do_include_ss else 0.0 * t_b
+            )
+            f_dn = f_dn_diff + direct
+            f_act = two_pi * (ip + im) @ w + (
+                f0 * t_b if self._do_include_ss else 0.0 * t_b
+            )
+            interp_j = jnp.asarray(interp, dtype=ext.dtype)
+            per_type = {
+                FluxType.Upwelling: f_up,
+                FluxType.Downwelling: f_dn,
+                FluxType.Actinic: f_act,
+            }
+            for ti, ftype in enumerate(cfg.flux_types):
+                if ftype not in per_type:
+                    msg = f"Flux type {ftype} not implemented"
+                    raise NotImplementedError(msg)
+                vals = interp_j @ per_type[ftype]
+                flux = flux.at[ti, jnp.asarray(idx)].set(vals)
+        return flux
 
     @functools.lru_cache(maxsize=4)
     def _chapman_cache(self, dtype_name):
@@ -283,19 +427,25 @@ class Engine:
         }
 
     # ------------------------------------------------------------------
-    def _build_jit(self, needs_leg_jac, needs_jac):
+    def _build_jit(self, needs_leg_jac, needs_jac, with_flux):
+        def outputs(core):
+            rad = self._radiance_single_wavelength(core)
+            if with_flux:
+                flux = self._flux_single_wavelength(core)
+                return jnp.concatenate([rad, flux.ravel()])
+            return rad
+
         def per_wavelength(core):
             if not needs_jac:
-                return self._radiance_single_wavelength(core), {}
-            rad, vjp = jax.vjp(self._radiance_single_wavelength, core)
-            nlos = rad.shape[0]
-            seeds = jnp.eye(nlos, dtype=rad.dtype)
-            grads = jax.vmap(vjp)(seeds)[0]  # dict of [nlos, ...]
+                return outputs(core), {}
+            out, vjp = jax.vjp(outputs, core)
+            seeds = jnp.eye(out.shape[0], dtype=out.dtype)
+            grads = jax.vmap(vjp)(seeds)[0]  # dict of [nout, ...]
             if not needs_leg_jac:
                 grads = {
                     k: v for k, v in grads.items() if k != "leg_coeff"
                 }
-            return rad, grads
+            return out, grads
 
         batched = jax.vmap(per_wavelength)
         return jax.jit(batched)
@@ -313,28 +463,43 @@ class Engine:
             for m in mappings.values()
         )
 
-        key = (needs_leg_jac, needs_jac)
+        with_flux = len(self._flux_observers) > 0 and self._needs_do
+        key = (needs_leg_jac, needs_jac, with_flux)
         if self._compute_jit is None or self._jit_key != key:
-            self._compute_jit = self._build_jit(needs_leg_jac, needs_jac)
+            self._compute_jit = self._build_jit(
+                needs_leg_jac, needs_jac, with_flux
+            )
             self._jit_key = key
 
         core = {
             k: jnp.asarray(v, dtype=self._dtype) for k, v in core_np.items()
         }
-        rad, grads = self._compute_jit(core)
-        rad = np.asarray(rad)  # [W, nlos]
+        full, grads = self._compute_jit(core)
+        full = np.asarray(full)
+        nlos = len(self._rays)
+        rad = full[:, :nlos]  # [W, nlos]
 
         out = Dataset()
         nstokes = self._config.num_stokes
         out["radiance"] = DataArray(
             rad[..., None], ("wavelength", "los", "stokes")
         )
+        if with_flux:
+            ntypes = len(self._config.flux_types)
+            nobs = len(self._flux_observers)
+            flux = full[:, nlos:].reshape(-1, ntypes, nobs)
+            flux_names = {0: "upwelling", 1: "downwelling", 2: "actinic",
+                          3: "divergence"}
+            for ti, ftype in enumerate(self._config.flux_types):
+                out[f"{flux_names[ftype.value]}_flux"] = DataArray(
+                    flux[:, ti, :], ("wavelength", "flux_location")
+                )
         if atmosphere.wavelengths_nm is not None:
             out.coords["wavelength"] = atmosphere.wavelengths_nm
         out.coords["stokes"] = ["I", "Q", "U", "V"][:nstokes]
 
         if needs_jac:
-            self._assemble_wfs(out, atmosphere, grads)
+            self._assemble_wfs(out, atmosphere, grads, nlos, with_flux)
 
         if self._config.output_los_optical_depth:
             od = singlescatter.optical_depth(
@@ -346,9 +511,32 @@ class Engine:
         return out
 
     # ------------------------------------------------------------------
-    def _assemble_wfs(self, out: Dataset, atmosphere: Atmosphere, grads):
+    def _assemble_wfs(self, out: Dataset, atmosphere: Atmosphere, grads,
+                      nlos=None, with_flux=False):
         """Map core-space gradients through the derivative mappings
         (reference ``OutputDerivMapped``, ``cpp/lib/output/``)."""
+        if nlos is None:
+            nlos = len(self._rays)
+        flux_names = {0: "upwelling", 1: "downwelling", 2: "actinic",
+                      3: "divergence"}
+        ntypes = len(self._config.flux_types)
+        nobs = len(self._flux_observers)
+
+        def emit(name, wf, dims_prefix):
+            # wf: [W, nout, ...extra]; split into radiance + flux variables
+            wf_rad = wf[:, :nlos]
+            arrs = [(name, wf_rad, ("wavelength", "los", "stokes"))]
+            if with_flux:
+                wf_flux = wf[:, nlos:].reshape(
+                    (wf.shape[0], ntypes, nobs) + wf.shape[2:]
+                )
+                for ti, ftype in enumerate(self._config.flux_types):
+                    arrs.append((
+                        f"{name}_{flux_names[ftype.value]}_flux",
+                        wf_flux[:, ti],
+                        ("wavelength", "flux_location"),
+                    ))
+            return arrs
         jext = np.asarray(grads["extinction"]) if "extinction" in grads else None
         jssa = np.asarray(grads["ssa"]) if "ssa" in grads else None
         jem = np.asarray(grads["emission"]) if "emission" in grads else None
@@ -357,7 +545,7 @@ class Engine:
         # shapes: j* = [W, nlos, A(, L)]; jalb = [W, nlos]
 
         for name, m in atmosphere.storage.derivative_mappings.items():
-            # [W, nlos, A] core-space WF
+            # [W, nout, A] core-space WF
             wf = 0.0
             if jext is not None:
                 wf = wf + jext * m.d_extinction.T[:, None, :]
@@ -379,17 +567,28 @@ class Engine:
             if m.interpolator is not None:
                 wf = np.einsum("oa,wua->wuo", m.interpolator, wf)
             assign = m.assign_name if m.assign_name else name
-            arr = np.moveaxis(wf, -1, 0)[..., None]  # [A/out, W, nlos, 1]
-            da = DataArray(
-                arr, (m.interp_dim, "wavelength", "los", "stokes")
-            )
-            if assign in out:
-                out[assign] = out[assign] + da
-            else:
-                out[assign] = da
+            for vname, arr, dims in emit(assign, wf, None):
+                if dims[-1] == "stokes":
+                    da = DataArray(
+                        np.moveaxis(arr, -1, 0)[..., None],
+                        (m.interp_dim, *dims),
+                    )
+                else:
+                    da = DataArray(
+                        np.moveaxis(arr, -1, 0), (m.interp_dim, *dims)
+                    )
+                if vname in out:
+                    out[vname] = out[vname] + da
+                else:
+                    out[vname] = da
 
         for name, m in atmosphere.surface.derivative_mappings.items():
             if jalb is None:
                 continue
             wf = jalb * m.d_brdf[:, 0][:, None]
-            out[name] = DataArray(wf[..., None], ("wavelength", "los", "stokes"))
+            for vname, arr, dims in emit(name, wf[..., None], None):
+                arr = arr[..., 0]
+                if dims[-1] == "stokes":
+                    out[vname] = DataArray(arr[..., None], dims)
+                else:
+                    out[vname] = DataArray(arr, dims)

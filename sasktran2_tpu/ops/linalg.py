@@ -27,12 +27,13 @@ def ediff(a, b, delta):
     diff = b - a
     mid = 0.5 * (a + b)
     x = diff * delta  # small parameter
-    emid = jnp.exp(-mid * delta)
-    # exact: exp(-a d) - exp(-b d) = emid * (exp(x/2) - exp(-x/2)) = 2 emid sinh(x/2)
-    # ratio = 2 emid sinh(x/2) / x ; series: emid * (1 + x^2/24 + x^4/1920)
     small = jnp.abs(x) < 1e-3
-    safe_x = jnp.where(small, 1.0, x)
-    exact = emid * 2.0 * jnp.sinh(safe_x / 2.0) / safe_x * delta
+    # direct difference: no cancellation when |x| is not small, and each
+    # exponential is individually overflow-safe (a sinh form would overflow
+    # for large |x| even though the result is tiny)
+    safe_diff = jnp.where(small, 1.0, diff)
+    exact = (jnp.exp(-a * delta) - jnp.exp(-b * delta)) / safe_diff
+    emid = jnp.exp(-mid * delta)
     series = emid * delta * (1.0 + x * x / 24.0 * (1.0 + x * x / 80.0))
     return jnp.where(small, series, exact)
 

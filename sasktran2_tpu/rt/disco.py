@@ -368,25 +368,31 @@ def _user_projections(omega, beta, lam, lam_user, lam_sun, parity, x, y, w, m_id
 
 
 def _postprocess_mode(
-    k, x, y, coeff_l, coeff_m, c_minus, c_plus,
-    omega, beta, dtau, t_top, sbar,
+    k, x, y, coeff_l, coeff_m, sources,
+    omega, beta, dtau,
     lam, lam_user, lam_sun, parity, mu, w, m_idx,
-    user_mu, user_up, refl, refl_user, ground_direct_user,
-    include_ss,
+    user_mu, user_up, refl_user, ground_direct_user_gated,
+    ground_direct_user_ungated, include_ss, phi_mb,
 ):
     """Observer radiance for one azimuth mode.
+
+    ``sources`` is a list of particular-solution descriptors
+    ``(c_minus, c_plus, amp, decay, kind)`` — the layer source amplitude is
+    ``amp * e^{-decay * t}``; the solar beam uses (T_top * F0, sbar) and the
+    thermal source uses (B_top, b1) (reference thermal variant,
+    ``sktran_do_rte.cpp:1345``). kind is "beam" (direct term gated by
+    include_ss) or "thermal" (isotropic direct term, always included,
+    m=0 only).
 
     user_mu: [U] positive cosines. user_up: [U] bool — True means the user
     direction is upwelling (observer above, looking down; radiance summed
     from the ground upward and evaluated at TOA), False means downwelling
     (observer at the surface looking up; evaluated at the ground).
 
-    refl_user: [..., U, N] ground reflection of the downwelling diffuse
-    field into the user angles (includes quadrature weights).
-    ground_direct_user: [..., U] direct-beam ground reflection at user
-    angles. include_ss: whether the direct-beam scattering term (and direct
-    ground reflection) belongs to this source (reference
-    ``do_source_planeparallel.cpp:23-25``).
+    ``phi_mb`` is the summed particular phi^- at layer bottoms (for the
+    ground diffuse reflection). ground_direct_user_gated carries the
+    direct-sun ground reflection (gated by include_ss);
+    ground_direct_user_ungated carries surface thermal emission.
 
     Returns radiance [..., U].
     """
@@ -395,58 +401,61 @@ def _postprocess_mode(
         omega, beta, lam, lam_user, lam_sun, parity, x, y, w, m_idx
     )
 
-    d = dtau[..., None]           # [..., P, 1]
-    sb = sbar[..., None]
-    tt = t_top[..., None]
     c = 1.0 / user_mu             # [U]
     cb = c[:, None]               # [U, 1] for [..., P, U, A] broadcasts
 
     du = dtau[..., None, None]    # [..., P, 1, 1]
-    sbu = sbar[..., None, None]
-    ttu = t_top[..., None, None]
     ku = k[..., None, :]          # [..., P, 1, A]
 
-    # ---- upwelling source integrals per layer --------------------------
     efwd_k = ediff(jnp.zeros_like(ku), ku + cb, du) / user_mu[:, None]
     erev_k = ediff(ku, cb + jnp.zeros_like(ku), du) / user_mu[:, None]
-    efwd_s = ediff(jnp.zeros_like(sbu), sbu + cb, du) / user_mu[:, None]
-    erev_s = ediff(sbu, cb + jnp.zeros_like(sbu), du) / user_mu[:, None]
 
-    # (Efwd(sbar) - Efwd(k)) / (k - sbar) = ddiff2(0, sbar+c, k+c) / mu
-    green_minus_up = ddiff2(
-        jnp.zeros_like(ku), sbu + cb, ku + cb, du
-    ) / user_mu[:, None]
-    # phi+ integral (up): -c+ T/(k+sb) (Efwd(sbar) - ediff(k+sb, sb+c)/mu)
-    green_plus_up = (efwd_s - ediff(ku + sbu, sbu + cb, du) / user_mu[:, None]) / (
-        ku + sbu
-    )
-
-    # (Erev(sbar) - Erev(k)) / (k - sbar) = ddiff2(k, c, sbar) / mu
-    green_minus_dn = ddiff2(
-        ku, cb + jnp.zeros_like(ku), sbu, du
-    ) / user_mu[:, None]
-    green_plus_dn = (erev_s - ediff(sbu, ku + sbu + cb, du) / user_mu[:, None]) / (
-        ku + sbu
-    )
-
-    cmu = c_minus[..., None, :]   # [..., P, 1, A]
-    cpu = c_plus[..., None, :]
     lu = coeff_l[..., None, :]
     mu_c = coeff_m[..., None, :]
 
-    s_up = jnp.sum(
-        pv_up * (lu * efwd_k + cmu * ttu * green_minus_up)
-        + pu_up * (mu_c * erev_k - cpu * ttu * green_plus_up),
-        axis=-1,
-    )
-    s_dn = jnp.sum(
-        pv_dn * (lu * erev_k + cmu * ttu * green_minus_dn)
-        + pu_dn * (mu_c * efwd_k - cpu * ttu * green_plus_dn),
-        axis=-1,
-    )
-    if include_ss:
-        s_up = s_up + beam_up * ttu[..., 0] * efwd_s[..., 0]
-        s_dn = s_dn + beam_dn * ttu[..., 0] * erev_s[..., 0]
+    s_up = jnp.sum(pv_up * lu * efwd_k + pu_up * mu_c * erev_k, axis=-1)
+    s_dn = jnp.sum(pv_dn * lu * erev_k + pu_dn * mu_c * efwd_k, axis=-1)
+
+    is_m0 = jnp.where(m_idx == 0, 1.0, 0.0)
+
+    for c_minus, c_plus, amp, decay, kind in sources:
+        sbu = decay[..., None, None]
+        ampu = amp[..., None, None]
+        efwd_s = ediff(jnp.zeros_like(sbu), sbu + cb, du) / user_mu[:, None]
+        erev_s = ediff(sbu, cb + jnp.zeros_like(sbu), du) / user_mu[:, None]
+        green_minus_up = ddiff2(
+            jnp.zeros_like(ku), sbu + cb, ku + cb, du
+        ) / user_mu[:, None]
+        green_plus_up = (
+            efwd_s - ediff(ku + sbu, sbu + cb, du) / user_mu[:, None]
+        ) / (ku + sbu)
+        green_minus_dn = ddiff2(
+            ku, cb + jnp.zeros_like(ku), sbu, du
+        ) / user_mu[:, None]
+        green_plus_dn = (
+            erev_s - ediff(sbu, ku + sbu + cb, du) / user_mu[:, None]
+        ) / (ku + sbu)
+
+        cmu = c_minus[..., None, :]
+        cpu = c_plus[..., None, :]
+        s_up = s_up + jnp.sum(
+            pv_up * cmu * ampu * green_minus_up
+            - pu_up * cpu * ampu * green_plus_up,
+            axis=-1,
+        )
+        s_dn = s_dn + jnp.sum(
+            pv_dn * cmu * ampu * green_minus_dn
+            - pu_dn * cpu * ampu * green_plus_dn,
+            axis=-1,
+        )
+        if kind == "beam":
+            if include_ss:
+                s_up = s_up + beam_up * ampu[..., 0] * efwd_s[..., 0]
+                s_dn = s_dn + beam_dn * ampu[..., 0] * erev_s[..., 0]
+        else:  # thermal: isotropic direct source, m=0 only
+            one_minus_om = (1.0 - omega)[..., None]
+            s_up = s_up + is_m0 * one_minus_om * ampu[..., 0] * efwd_s[..., 0]
+            s_dn = s_dn + is_m0 * one_minus_om * ampu[..., 0] * erev_s[..., 0]
 
     # ---- attenuate and sum layers --------------------------------------
     od_user = dtau[..., :, None] * c  # [..., P, U]
@@ -463,13 +472,13 @@ def _postprocess_mode(
                    coeff_l[..., P - 1, :])
         + jnp.einsum("...ia,...a->...i", x[..., P - 1, :, :], coeff_m[..., P - 1, :])
         + jnp.einsum(
-            "...ia,...a->...i", y[..., P - 1, :, :],
-            (c_minus * t_top[..., None] * ediff(sb, k, d))[..., P - 1, :],
+            "...ia,...a->...i", y[..., P - 1, :, :], phi_mb[..., P - 1, :]
         )
     )
     ground_up = jnp.einsum("...ui,...i->...u", refl_user, i_minus_ground)
+    ground_up = ground_up + ground_direct_user_ungated
     if include_ss:
-        ground_up = ground_up + ground_direct_user
+        ground_up = ground_up + ground_direct_user_gated
     total_od_user = jnp.sum(od_user, axis=-2)
     rad_up = rad_up + jnp.exp(-total_od_user) * ground_up
 
@@ -483,21 +492,49 @@ def _solve_one_mode(
     m_idx, lam, lam_sun, lam_user, parity,
     dtau, omega, beta, t_top, sbar, t_ground,
     albedo, mu, w, mu0, user_mu, user_up, include_ss,
+    f0, thermal,
 ):
     """Full solve of a single azimuth mode, batched over wavelength.
 
-    Returns radiance [..., U] for this mode plus the level stream fields
-    (for flux output, m=0 only is used by the caller).
+    ``f0`` scales the solar beam (the solar irradiance enters the beam
+    source directly, as in the reference single-scatter stream source).
+    ``thermal`` is None or (b0 [..., P], b1 [..., P], surface_emission
+    [...]) describing the exponential-in-OD layer emission (reference
+    ``sktran_do_layerarray.cpp:342-346``).
+
+    Returns radiance [..., U], m=0 level stream fields, and internals.
     """
     omega = jnp.minimum(omega, SSA_CEILING)
     a_hat, b_hat = _assemble_symmetric(omega, beta, lam, parity, mu, w)
     k, x, y = _eigensolve(a_hat, b_hat, mu, w)
+
+    is_m0 = jnp.where(m_idx == 0, 1.0, 0.0)
+
+    sources = []
+    amp_beam = t_top * f0[..., None]
     qp, qm = _beam_sources(omega, beta, lam, lam_sun, parity, m_idx)
     c_minus, c_plus = _greens_coefficients(k, x, y, qp, qm, w)
-    phi_mb, phi_pt = _particular_boundary(k, c_minus, c_plus, t_top, sbar, dtau)
+    sources.append((c_minus, c_plus, amp_beam, sbar, "beam"))
+
+    if thermal is not None:
+        b0, b1, surf_em = thermal
+        q_th = (
+            is_m0
+            * (1.0 - omega)[..., None]
+            * jnp.ones((len(mu),), dtype=omega.dtype)
+        )
+        c_minus_th, c_plus_th = _greens_coefficients(k, x, y, q_th, q_th, w)
+        sources.append((c_minus_th, c_plus_th, b0, b1, "thermal"))
+
+    # summed particular boundary values over sources
+    phi_mb = 0.0
+    phi_pt = 0.0
+    for c_m, c_p, amp, decay, _kind in sources:
+        mb, pt = _particular_boundary(k, c_m, c_p, amp, decay, dtau)
+        phi_mb = phi_mb + mb
+        phi_pt = phi_pt + pt
 
     # Lambertian ground reflection operator (m=0 only): R_ij = 2 rho w_j mu_j
-    is_m0 = jnp.where(m_idx == 0, 1.0, 0.0)
     refl = (
         2.0
         * is_m0
@@ -505,9 +542,13 @@ def _solve_one_mode(
         * jnp.broadcast_to(w * mu, albedo.shape + (1, len(mu)))
     )
     refl = jnp.broadcast_to(refl, albedo.shape + (len(mu), len(mu)))
-    ground_direct = (
-        is_m0 * albedo * mu0 * t_ground / jnp.pi
-    )[..., None] * jnp.ones((len(mu),))
+    ground_sun = is_m0 * albedo * mu0 * t_ground * f0 / jnp.pi
+    ground_thermal = (
+        is_m0 * (1.0 - albedo) * thermal[2] if thermal is not None else 0.0
+    )
+    ground_direct = (ground_sun + ground_thermal)[..., None] * jnp.ones(
+        (len(mu),)
+    )
 
     coeff_l, coeff_m, _ = _bvp_blocks(
         k, x, y, dtau, phi_mb, phi_pt, refl, ground_direct
@@ -522,16 +563,19 @@ def _solve_one_mode(
     refl_user = jnp.broadcast_to(
         refl_user, albedo.shape + (len(user_mu), len(mu))
     )
-    ground_direct_user = (
-        is_m0 * albedo * mu0 * t_ground / jnp.pi
-    )[..., None] * jnp.ones((len(user_mu),))
+    gd_user_gated = ground_sun[..., None] * jnp.ones((len(user_mu),))
+    gd_user_ungated = (
+        ground_thermal[..., None] * jnp.ones((len(user_mu),))
+        if thermal is not None
+        else jnp.zeros(albedo.shape + (len(user_mu),), dtype=omega.dtype)
+    )
 
     rad = _postprocess_mode(
-        k, x, y, coeff_l, coeff_m, c_minus, c_plus,
-        omega, beta, dtau, t_top, sbar,
+        k, x, y, coeff_l, coeff_m, sources,
+        omega, beta, dtau,
         lam, lam_user, lam_sun, parity, mu, w, m_idx,
-        user_mu, user_up, refl, refl_user, ground_direct_user,
-        include_ss,
+        user_mu, user_up, refl_user, gd_user_gated, gd_user_ungated,
+        include_ss, phi_mb,
     )
 
     internal = {
@@ -544,7 +588,7 @@ def _solve_one_mode(
         "c_plus": c_plus,
     }
 
-    # Level diffuse fields at layer tops + ground (for fluxes / SO init)
+    # Level diffuse fields at layer tops/bottoms (for fluxes / ray sources)
     e = jnp.exp(-k * dtau[..., None])
     ip_plus_top = jnp.einsum("...pia,...pa->...pi", y, phi_pt)
     ip_minus_top = jnp.einsum("...pia,...pa->...pi", x, phi_pt)
@@ -558,18 +602,15 @@ def _solve_one_mode(
         + jnp.einsum("...pia,...pa->...pi", x * e[..., None, :], coeff_m)
         + ip_minus_top
     )
-    phi_mb_full = c_minus * t_top[..., None] * ediff(
-        sbar[..., None], k, dtau[..., None]
-    )
     i_plus_bot = (
         jnp.einsum("...pia,...pa->...pi", x * e[..., None, :], coeff_l)
         + jnp.einsum("...pia,...pa->...pi", y, coeff_m)
-        + jnp.einsum("...pia,...pa->...pi", x, phi_mb_full)
+        + jnp.einsum("...pia,...pa->...pi", x, phi_mb)
     )
     i_minus_bot = (
         jnp.einsum("...pia,...pa->...pi", y * e[..., None, :], coeff_l)
         + jnp.einsum("...pia,...pa->...pi", x, coeff_m)
-        + jnp.einsum("...pia,...pa->...pi", y, phi_mb_full)
+        + jnp.einsum("...pia,...pa->...pi", y, phi_mb)
     )
     levels = {
         "i_plus_top": i_plus_top,
@@ -593,6 +634,10 @@ def solve_plane_parallel(
     num_azimuth: int | None = None,
     return_levels: bool = False,
     return_internal: bool = False,
+    f0=None,
+    thermal_b0=None,
+    thermal_b1_bottom=None,
+    surface_emission=None,
 ):
     """Solve the multi-azimuth discrete-ordinates problem for a batch of
     wavelengths in a (pseudo-)spherical-beam plane-parallel atmosphere.
@@ -652,11 +697,39 @@ def solve_plane_parallel(
     user_azimuth = jnp.asarray(user_azimuth, dtype=dt)
     m_indices = jnp.arange(M)
 
+    if f0 is None:
+        f0 = jnp.ones(albedo.shape, dtype=dt)
+    else:
+        f0 = jnp.broadcast_to(jnp.asarray(f0, dtype=dt), albedo.shape)
+    if thermal_b0 is not None:
+        # exponential-in-OD emission B(t) = b0 e^{-b1 t} with
+        # b1 = ln(B_top/B_bot)/dtau (reference sktran_do_layerarray.cpp:342);
+        # fall back to a constant mean when an endpoint is zero.
+        both_pos = (thermal_b0 > 0.0) & (thermal_b1_bottom > 0.0)
+        b1 = jnp.where(
+            both_pos,
+            jnp.log(
+                jnp.maximum(thermal_b0, 1e-300)
+                / jnp.maximum(thermal_b1_bottom, 1e-300)
+            )
+            / jnp.maximum(dtau, 1e-30),
+            jnp.zeros_like(dtau),
+        )
+        b0 = jnp.where(
+            both_pos, thermal_b0, 0.5 * (thermal_b0 + thermal_b1_bottom)
+        )
+        thermal = (b0, b1, surface_emission
+                   if surface_emission is not None
+                   else jnp.zeros_like(albedo))
+    else:
+        thermal = None
+
     def run_mode(m_idx, lam_m, lam_sun_m, lam_user_m, parity_m):
         return _solve_one_mode(
             m_idx, lam_m, lam_sun_m, lam_user_m, parity_m,
             dtau, omega, beta, t_top, sbar, t_ground,
             albedo, mu, w, mu0, user_mu, user_up, include_ss,
+            f0, thermal,
         )
 
     rad_modes, levels, internal = jax.vmap(run_mode, in_axes=(0, 0, 0, 0, 0))(
@@ -681,6 +754,8 @@ def solve_plane_parallel(
         internal["parity"] = parity
         internal["mu0"] = mu0
         internal["w_quad"] = w
+        internal["f0"] = f0
+        internal["thermal"] = thermal
         return radiance, internal
     if return_levels:
         level0 = jax.tree_util.tree_map(lambda v: v[0], levels)

@@ -96,7 +96,9 @@ def ms_source_along_rays(internal, traced: TracedRays, tables, include_ss: bool)
         j_diff = 0.5 * om_seg * jnp.einsum(
             "brsl,mlrs,mbrsl->mbrs", beta_seg, lam_pts, g
         )
-        tbeam = ttop_seg * jnp.exp(-sbar_seg * dtau_seg * frac)
+        f0 = internal.get("f0")
+        beam_amp = ttop_seg * (f0[..., None, None] if f0 is not None else 1.0)
+        tbeam = beam_amp * jnp.exp(-sbar_seg * dtau_seg * frac)
         j_beam = (
             jnp.einsum(
                 "brsl,mlrs,ml->mbrs",
@@ -107,6 +109,16 @@ def ms_source_along_rays(internal, traced: TracedRays, tables, include_ss: bool)
             * (om_seg / (4.0 * jnp.pi) * tbeam)
         )
         j = j_diff + (j_beam if include_ss else 0.0)
-        return jnp.einsum("mbrs,mrs->brs", j, cos_pts)
+        out = jnp.einsum("mbrs,mrs->brs", j, cos_pts)
+        thermal = internal.get("thermal")
+        if thermal is not None:
+            # isotropic direct thermal source (1 - omega) B(t), azimuth m=0
+            b0, b1, _ = thermal
+            b0_seg = b0[:, seg_layer]
+            b1_seg = b1[:, seg_layer]
+            out = out + (1.0 - om_seg) * b0_seg * jnp.exp(
+                -b1_seg * dtau_seg * frac
+            )
+        return out
 
     return endpoint_source(f_in, 0), endpoint_source(f_out, 1)

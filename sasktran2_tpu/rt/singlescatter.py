@@ -121,6 +121,49 @@ def integrate_single_scatter(
     return radiance + ground_term
 
 
+def emission_radiance(extinction, ssa, emission, albedo, surface_emission,
+                      traced: TracedRays):
+    """Thermal/VER emission integrated along the rays (reference
+    ``cpp/lib/emission/emission_source.cpp``): source per unit length
+    J = k_absorption * B at segment boundaries, plus surface emission
+    (1 - albedo) * B_surf at the far end of ground-hitting rays.
+
+    emission: [W, A] radiance-units source; surface_emission: [W].
+    Returns [W, R].
+    """
+    odw = jnp.asarray(traced.od_weights, dtype=extinction.dtype)
+    intw = jnp.asarray(traced.interp_weights, dtype=extinction.dtype)
+    lengths = jnp.asarray(traced.lengths, dtype=extinction.dtype)
+    mask = jnp.asarray(traced.mask, dtype=extinction.dtype)
+
+    seg_od = jnp.einsum("rsa,wa->wrs", odw, extinction)
+    k_b = jnp.einsum("rba,wa->wrb", intw, extinction)
+    kabs_b = k_b * (1.0 - jnp.einsum("rba,wa->wrb", intw, ssa) / jnp.maximum(k_b, 1e-300) * k_b)
+    kscat_b = jnp.einsum("rba,wa->wrb", intw, extinction * ssa)
+    kabs_b = k_b - kscat_b
+    b_b = jnp.einsum("rba,wa->wrb", intw, emission)
+    j_b = kabs_b * b_b
+
+    j_in = j_b[..., :-1]
+    j_out = j_b[..., 1:]
+    od = jnp.maximum(seg_od, 0.0)
+    source_factor = jnp.where(
+        od < 1e-12, 1.0 - 0.5 * od, -jnp.expm1(-od) / jnp.maximum(od, 1e-12)
+    )
+    seg_src = source_factor * 0.5 * (j_in + j_out) * lengths * mask
+
+    od_m = seg_od * mask
+    closer = jnp.flip(jnp.cumsum(jnp.flip(od_m, axis=-1), axis=-1), axis=-1) - od_m
+    radiance = jnp.sum(seg_src * jnp.exp(-closer), axis=-1)
+
+    ground = jnp.asarray(traced.ground_hit, dtype=extinction.dtype)
+    total_od = jnp.sum(od_m, axis=-1)
+    ground_term = (
+        ground * (1.0 - albedo[..., None]) * surface_emission[..., None]
+    ) * jnp.exp(-total_od)
+    return radiance + ground_term
+
+
 def integrate_od_source(extinction, j_in, j_out, traced: TracedRays):
     """Integrate a per-unit-optical-depth source along the traced rays:
     I = sum_s T_closer(s) (1 - e^{-dtau_s}) (J_in + J_out)/2.

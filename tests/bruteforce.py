@@ -126,61 +126,56 @@ def _solve_mode(
     r[row : row + N] = direct
     states = np.linalg.solve(G, r).reshape(P + 1, n2)
 
-    def field(p, t):
-        Itop = states[p]
-        E = expm(Hs[p] * t)
-        return E @ (Itop - vs[p]) + vs[p] * np.exp(-sbar[p] * t)
+    def layer_fields(p):
+        """Fields at nsub+1 equally spaced depths within layer p via iterated
+        sub-step propagation (one expm per layer)."""
+        ts = np.linspace(0, dtau[p], nsub + 1)
+        e_sub = expm(Hs[p] * (dtau[p] / nsub))
+        xs = np.empty((nsub + 1, 2 * N))
+        h = states[p] - vs[p]
+        for j in range(nsub + 1):
+            xs[j] = h
+            h = e_sub @ h
+        return ts, xs + vs[p] * np.exp(-sbar[p] * ts)[:, None]
 
-    def source_at(p, t, mu_dir_sign, mu_u_abs):
-        # J at user direction; mu_dir_sign +1 up, -1 down
-        I = field(p, t)
-        Ip, Im = I[:N], I[N:]
-        lam_u = lamu  # [L, U]
-        jval = np.zeros(lamu.shape[1])
-        for li in range(L):
-            lam_dir = lam_u[li] * (nu[li] if mu_dir_sign < 0 else 1.0)
-            stream_sum = np.dot(w * lam[li], Ip) + nu[li] * np.dot(w * lam[li], Im)
-            jval += 0.5 * omega[p] * beta[p, li] * lam_dir * stream_sum
-        # beam
+    def sources_layer(p, mu_dir_sign):
+        """J at user directions for all sub-points: [nsub+1, U]."""
+        ts, I_all = layer_fields(p)
+        Ip, Im = I_all[:, :N], I_all[:, N:]
+        lam_dir = lamu * np.where(mu_dir_sign < 0, nu[:, None], 1.0)  # [L, U]
+        stream = (Ip @ (w * lam).T) + (Im @ (w * lam).T) * nu[None, :]  # [T, L]
+        jvals = 0.5 * omega[p] * stream @ (beta[p][:, None] * lam_dir)  # [T, U]
         cfac = (2.0 - (m == 0)) * omega[p] / (4 * np.pi)
-        beam_amp = np.zeros(lamu.shape[1])
-        for li in range(L):
-            lam_dir = lam_u[li] * (nu[li] if mu_dir_sign < 0 else 1.0)
-            beam_amp += cfac * beta[p, li] * lam_dir * nu[li] * lam0[li]
+        beam_amp = (beta[p] * nu * lam0) @ lam_dir  # [U]
         if include_ss:
-            jval += beam_amp * t_top[p] * np.exp(-sbar[p] * t)
-        return jval
+            jvals = jvals + cfac * beam_amp[None, :] * (
+                t_top[p] * np.exp(-sbar[p] * ts)
+            )[:, None]
+        return ts, jvals
 
     U = len(user_mu)
     out = np.zeros(U)
-    for ui in range(U):
-        muu = user_mu[ui]
-        if user_up[ui]:
-            # observer at TOA looking down: integrate upwelling
-            total = 0.0
-            # ground term
-            Ig = states[P]
-            ground_up = refl @ Ig[N:]
-            gval = ground_up[0] if m == 0 else 0.0  # isotropic reflection
-            if include_ss and m == 0:
-                gval += direct[0]
-            atten_to_ground = np.exp(-cum[-1] / muu)
-            total += atten_to_ground * gval
-            for p in range(P):
-                ts = np.linspace(0, dtau[p], nsub + 1)
-                js = np.array([source_at(p, t, +1, muu)[ui] for t in ts])
-                integrand = js * np.exp(-ts / muu) / muu
-                layer_int = np.trapezoid(integrand, ts)
-                total += np.exp(-cum[p] / muu) * layer_int
-            out[ui] = total
-        else:
-            total = 0.0
-            for p in range(P):
-                ts = np.linspace(0, dtau[p], nsub + 1)
-                js = np.array([source_at(p, t, -1, muu)[ui] for t in ts])
-                integrand = js * np.exp(-(dtau[p] - ts) / muu) / muu
-                layer_int = np.trapezoid(integrand, ts)
+    up_sel = np.asarray(user_up, dtype=bool)
+    if np.any(up_sel):
+        Ig = states[P]
+        ground_up = refl @ Ig[N:]
+        gval = ground_up[0] if m == 0 else 0.0
+        if include_ss and m == 0:
+            gval += direct[0]
+        for p in range(P):
+            ts, js = sources_layer(p, +1)
+            for ui in np.where(up_sel)[0]:
+                muu = user_mu[ui]
+                integrand = js[:, ui] * np.exp(-ts / muu) / muu
+                out[ui] += np.exp(-cum[p] / muu) * np.trapezoid(integrand, ts)
+        for ui in np.where(up_sel)[0]:
+            out[ui] += np.exp(-cum[-1] / user_mu[ui]) * gval
+    if np.any(~up_sel):
+        for p in range(P):
+            ts, js = sources_layer(p, -1)
+            for ui in np.where(~up_sel)[0]:
+                muu = user_mu[ui]
+                integrand = js[:, ui] * np.exp(-(dtau[p] - ts) / muu) / muu
                 below = cum[-1] - cum[p + 1]
-                total += np.exp(-below / muu) * layer_int
-            out[ui] = total
+                out[ui] += np.exp(-below / muu) * np.trapezoid(integrand, ts)
     return out
