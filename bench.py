@@ -74,7 +74,13 @@ def _build(nstr, W, P=100, L=40, dtype=None):
         grads = jax.vmap(vjp)(seeds)[0]
         return rad, grads
 
-    fn = jax.jit(jax.vmap(per_wavelength))
+    vm = jax.vmap(per_wavelength)
+
+    def with_precision(inp):
+        with jax.default_matmul_precision("highest"):
+            return vm(inp)
+
+    fn = jax.jit(with_precision)
     return fn, inputs
 
 

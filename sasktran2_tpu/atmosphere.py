@@ -348,6 +348,14 @@ class Atmosphere:
             self.storage.leg_coeff = scaled
         else:
             self.storage.leg_coeff[0::4] = scaled
+            # a2/a3 scale like a1 with their own (2l+1) f subtraction on the
+            # diagonal elements; b1 has no delta-function part
+            for view in (self.leg_coeff.a2, self.leg_coeff.a3):
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    view[:] = (view - f[None] * 0.0) / (1 - f)[None]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                self.leg_coeff.b1[:] = self.leg_coeff.b1 / (1 - f)[None]
+            np.nan_to_num(self.storage.leg_coeff, copy=False)
         self._leg_view = LegendreStorageView(self.storage.leg_coeff, self.nstokes)
         self._applied_delta_m_order = M
 
@@ -355,15 +363,22 @@ class Atmosphere:
         """Core arrays in the [wavelength-leading] layout used by the jitted
         engine compute path."""
         s = self.storage
-        a1 = self.leg_coeff.a1
+
+        def to_wal(x):
+            # [L, A, W] -> [W, A, L]
+            return np.ascontiguousarray(np.transpose(x, (2, 1, 0)))
+
         core = {
             "extinction": np.ascontiguousarray(s.total_extinction.T),  # [W, A]
             "ssa": np.ascontiguousarray(s.ssa.T),  # [W, A]
-            "leg_coeff": np.ascontiguousarray(np.moveaxis(a1, 0, -1).swapaxes(0, 1)),
-            # -> [W, A, L]
+            "leg_coeff": to_wal(self.leg_coeff.a1),  # [W, A, L]
             "albedo": self.surface.albedo.copy(),  # [W]
             "emission": np.ascontiguousarray(s.emission_source.T),  # [W, A]
             "surface_emission": self.surface.emission.copy(),  # [W]
             "solar_irradiance": s.solar_irradiance.copy(),  # [W]
         }
+        if self.nstokes == 3:
+            core["leg_a2"] = to_wal(self.leg_coeff.a2)
+            core["leg_a3"] = to_wal(self.leg_coeff.a3)
+            core["leg_b1"] = to_wal(self.leg_coeff.b1)
         return core

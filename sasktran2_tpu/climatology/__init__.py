@@ -1,0 +1,3 @@
+from .us76 import add_us76_standard_atmosphere, us76_pressure_temperature
+
+__all__ = ["add_us76_standard_atmosphere", "us76_pressure_temperature"]

@@ -56,9 +56,9 @@ class Rayleigh(Constituent):
         a1[2] += k * beta2[None, :]
         if atmo.nstokes == 3:
             a2 = atmo.leg_coeff.a2
-            a3 = atmo.leg_coeff.a3
+            b1 = atmo.leg_coeff.b1
             a2[2] += k * 6.0 * beta2[None, :]
-            a3[2] += k * np.sqrt(6.0) * beta2[None, :]
+            b1[2] += k * np.sqrt(6.0) * beta2[None, :]
 
     def register_derivative(self, atmo, name: str):
         nd = self._number_density(atmo)

@@ -90,6 +90,14 @@ class Engine:
         if self._needs_ss_exact:
             self._phase_tab = singlescatter.phase_tables(self._traced, nleg)
 
+        if config.num_stokes == 3:
+            if any(isinstance(r, TangentAltitudeSolar) for r in self._rays):
+                msg = "num_stokes=3 limb viewing is not wired yet"
+                raise NotImplementedError(msg)
+            if self._flux_observers:
+                msg = "num_stokes=3 flux observers are not wired yet"
+                raise NotImplementedError(msg)
+
         self._do_groups = []
         self._limb_groups = []
         self._flux_groups = []
@@ -140,9 +148,16 @@ class Engine:
             user_mu = np.array([e[1] for e in entries])
             user_up = np.array([e[2] for e in entries])
             user_azi = np.array([e[3] for e in entries])
-            tables = disco.build_mode_tables(
-                self._do_nstr, nleg_ms, mu0, user_mu, num_azimuth=num_azi
-            )
+            if self._config.num_stokes == 3:
+                from .rt import disco_vec
+
+                tables = disco_vec.build_vector_mode_tables(
+                    self._do_nstr, nleg_ms, mu0, user_mu, num_azimuth=num_azi
+                )
+            else:
+                tables = disco.build_mode_tables(
+                    self._do_nstr, nleg_ms, mu0, user_mu, num_azimuth=num_azi
+                )
             self._do_groups.append((idx, tables, user_up, user_azi))
 
         # Flux observers: per-SZA DO solves evaluated at the observer
@@ -211,14 +226,21 @@ class Engine:
         ks_avg = 0.5 * (ks_lo + ks_hi)
         dtau = k_avg * dz
         omega = ks_avg / jnp.maximum(k_avg, 1e-300)
-        bl = leg_coeff[..., :-1, :] * ks_lo[..., None]
-        bh = leg_coeff[..., 1:, :] * ks_hi[..., None]
-        beta = 0.5 * (bl + bh) / jnp.maximum(ks_avg[..., None], 1e-300)
+
+        def avg_leg(lc):
+            bl = lc[..., :-1, :] * ks_lo[..., None]
+            bh = lc[..., 1:, :] * ks_hi[..., None]
+            beta = 0.5 * (bl + bh) / jnp.maximum(ks_avg[..., None], 1e-300)
+            return beta[..., ::-1, :]
+
+        if isinstance(leg_coeff, (tuple, list)):
+            betas = tuple(avg_leg(lc) for lc in leg_coeff)
+            return dtau[..., ::-1], omega[..., ::-1], betas
         # flip to TOA-first layer order
         return (
             dtau[..., ::-1],
             omega[..., ::-1],
-            beta[..., ::-1, :],
+            avg_leg(leg_coeff),
         )
 
     def _radiance_single_wavelength(self, core):
@@ -235,6 +257,10 @@ class Engine:
         surf_em = core.get("surface_emission", jnp.zeros_like(alb[..., 0]))
 
         nlos = len(self._rays)
+
+        if cfg.num_stokes == 3:
+            return self._radiance_polarized(core)
+
         rad = jnp.zeros((nlos,), dtype=ext.dtype)
 
         if self._needs_ss_exact:
@@ -302,6 +328,41 @@ class Engine:
                 rad = rad.at[jnp.asarray(idx)].add(ms_rad[jnp.asarray(idx)])
 
         return rad
+
+    def _radiance_polarized(self, core):
+        """(I, Q, U) radiance [nlos, 3] for one wavelength. Multiple and
+        single scatter both come from the polarized DO solve (the reference's
+        Coulson validation configuration)."""
+        from .rt import disco_vec
+
+        cfg = self._config
+        if self._needs_ss_exact:
+            msg = (
+                "Exact polarized single scatter is not wired yet; use "
+                "SingleScatterSource.DiscreteOrdinates with num_stokes=3"
+            )
+            raise NotImplementedError(msg)
+        ext = core["extinction"][None, :]
+        ssa = core["ssa"][None, :]
+        alb = core["albedo"][None]
+        f0 = core["solar_irradiance"]
+        legs = (
+            core["leg_coeff"][None], core["leg_a2"][None],
+            core["leg_a3"][None], core["leg_b1"][None],
+        )
+        dtau, omega, (a1, a2, a3, b1) = self._layer_optical(ext, ssa, legs)
+        chapman = self._chapman_factors(ext.dtype)
+        nlos = len(self._rays)
+        rad = jnp.zeros((nlos, 3), dtype=ext.dtype)
+        for idx, tables, user_up, user_azi in self._do_groups:
+            r = disco_vec.solve_plane_parallel_vector(
+                dtau, omega, a1, a2, a3, b1, alb, tables, user_up, user_azi,
+                include_ss=self._do_include_ss,
+                chapman=chapman.get(tables.mu0),
+                f0=f0,
+            )[0]
+            rad = rad.at[jnp.asarray(idx)].add(r)
+        return rad.ravel()
 
     def _flux_single_wavelength(self, core):
         """Fluxes [ntypes, nobs] for one wavelength (m=0 stream sums of the
@@ -428,6 +489,8 @@ class Engine:
 
     # ------------------------------------------------------------------
     def _build_jit(self, needs_leg_jac, needs_jac, with_flux):
+        # TPU matmuls default to bf16 for f32 inputs; radiative transfer
+        # needs full f32 accumulation throughout the solver.
         def outputs(core):
             rad = self._radiance_single_wavelength(core)
             if with_flux:
@@ -448,7 +511,12 @@ class Engine:
             return out, grads
 
         batched = jax.vmap(per_wavelength)
-        return jax.jit(batched)
+
+        def with_precision(core):
+            with jax.default_matmul_precision("highest"):
+                return batched(core)
+
+        return jax.jit(with_precision)
 
     # ------------------------------------------------------------------
     def calculate_radiance(self, atmosphere: Atmosphere) -> Dataset:
@@ -477,17 +545,18 @@ class Engine:
         full, grads = self._compute_jit(core)
         full = np.asarray(full)
         nlos = len(self._rays)
-        rad = full[:, :nlos]  # [W, nlos]
+        nstokes = self._config.num_stokes
+        nrad = nlos * nstokes
+        rad = full[:, :nrad].reshape(-1, nlos, nstokes)
 
         out = Dataset()
-        nstokes = self._config.num_stokes
         out["radiance"] = DataArray(
-            rad[..., None], ("wavelength", "los", "stokes")
+            rad, ("wavelength", "los", "stokes")
         )
         if with_flux:
             ntypes = len(self._config.flux_types)
             nobs = len(self._flux_observers)
-            flux = full[:, nlos:].reshape(-1, ntypes, nobs)
+            flux = full[:, nrad:].reshape(-1, ntypes, nobs)
             flux_names = {0: "upwelling", 1: "downwelling", 2: "actinic",
                           3: "divergence"}
             for ti, ftype in enumerate(self._config.flux_types):
@@ -522,12 +591,18 @@ class Engine:
         ntypes = len(self._config.flux_types)
         nobs = len(self._flux_observers)
 
-        def emit(name, wf, dims_prefix):
-            # wf: [W, nout, ...extra]; split into radiance + flux variables
-            wf_rad = wf[:, :nlos]
-            arrs = [(name, wf_rad, ("wavelength", "los", "stokes"))]
+        ns = self._config.num_stokes
+        nrad = nlos * ns
+
+        def emit(name, wf):
+            # wf: [W, nout(, extra)]; split into radiance + flux variables,
+            # materializing the stokes axis
+            rad_part = wf[:, :nrad].reshape(
+                (wf.shape[0], nlos, ns) + wf.shape[2:]
+            )
+            arrs = [(name, rad_part, ("wavelength", "los", "stokes"))]
             if with_flux:
-                wf_flux = wf[:, nlos:].reshape(
+                wf_flux = wf[:, nrad:].reshape(
                     (wf.shape[0], ntypes, nobs) + wf.shape[2:]
                 )
                 for ti, ftype in enumerate(self._config.flux_types):
@@ -567,16 +642,9 @@ class Engine:
             if m.interpolator is not None:
                 wf = np.einsum("oa,wua->wuo", m.interpolator, wf)
             assign = m.assign_name if m.assign_name else name
-            for vname, arr, dims in emit(assign, wf, None):
-                if dims[-1] == "stokes":
-                    da = DataArray(
-                        np.moveaxis(arr, -1, 0)[..., None],
-                        (m.interp_dim, *dims),
-                    )
-                else:
-                    da = DataArray(
-                        np.moveaxis(arr, -1, 0), (m.interp_dim, *dims)
-                    )
+            for vname, arr, dims in emit(assign, wf):
+                # trailing axis is the altitude/output axis of the mapping
+                da = DataArray(np.moveaxis(arr, -1, 0), (m.interp_dim, *dims))
                 if vname in out:
                     out[vname] = out[vname] + da
                 else:
@@ -586,9 +654,5 @@ class Engine:
             if jalb is None:
                 continue
             wf = jalb * m.d_brdf[:, 0][:, None]
-            for vname, arr, dims in emit(name, wf[..., None], None):
-                arr = arr[..., 0]
-                if dims[-1] == "stokes":
-                    out[vname] = DataArray(arr[..., None], dims)
-                else:
-                    out[vname] = DataArray(arr, dims)
+            for vname, arr, dims in emit(name, wf):
+                out[vname] = DataArray(arr, dims)

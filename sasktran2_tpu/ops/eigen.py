@@ -70,6 +70,7 @@ def _round_masks(n: int, dtype_name: str):
     return mask_c, mask_s
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def jacobi_eigh(a, sweeps: int | None = None):
     """Eigendecomposition of a batch of symmetric matrices.
 
@@ -78,7 +79,42 @@ def jacobi_eigh(a, sweeps: int | None = None):
 
     ``sweeps`` defaults to 10 for f64, 7 for f32 — enough for n <= 32 to
     reach close to machine precision on well-scaled inputs.
+
+    Differentiation uses the standard implicit eigh adjoint (not
+    differentiation through the iterations, which would store every
+    rotation): for A = V diag(w) V^T,
+        abar = V (diag(wbar) + F o (V^T Vbar)) V^T,  F_ij = 1/(w_j - w_i).
+    Degenerate pairs get a zero F entry (same convention as LAPACK-based
+    autodiff; valid when downstream quantities are invariant under rotations
+    within the degenerate subspace, which holds for the DO solver's
+    symmetric mode sums).
     """
+    return _jacobi_eigh_impl(a, sweeps)
+
+
+def _jacobi_eigh_fwd(a, sweeps):
+    out = _jacobi_eigh_impl(a, sweeps)
+    return out, out
+
+
+def _jacobi_eigh_bwd(sweeps, res, cotangents):
+    w, v = res
+    wbar, vbar = cotangents
+    hi = jax.lax.Precision.HIGHEST
+    vtvbar = jnp.einsum("...ji,...jk->...ik", v, vbar, precision=hi)
+    dw = w[..., None, :] - w[..., :, None]  # F_ij denominator w_j - w_i
+    small = jnp.abs(dw) < 1e-30
+    f = jnp.where(small, 0.0, 1.0 / jnp.where(small, 1.0, dw))
+    mid = f * vtvbar
+    idx = jnp.arange(w.shape[-1])
+    mid = mid.at[..., idx, idx].set(wbar)
+    abar = jnp.einsum("...ij,...jk,...lk->...il", v, mid, v, precision=hi)
+    # symmetrize: the primal is only defined on symmetric inputs
+    abar = 0.5 * (abar + jnp.swapaxes(abar, -1, -2))
+    return (abar,)
+
+
+def _jacobi_eigh_impl(a, sweeps=None):
     n = a.shape[-1]
     if n == 1:
         return a[..., 0], jnp.ones_like(a)
@@ -95,40 +131,54 @@ def jacobi_eigh(a, sweeps: int | None = None):
     if sweeps is None:
         sweeps = 7 if a.dtype == jnp.float32 else 10
 
-    mask_c_np, mask_s_np = _round_masks(npad, "float64")
-    mask_c = jnp.asarray(mask_c_np, dtype=a.dtype)
-    mask_s = jnp.asarray(mask_s_np, dtype=a.dtype)
     rounds = _tournament_schedule(npad)
-    p_idx = jnp.asarray([[p for p, _ in pairs] for pairs in rounds])
-    q_idx = jnp.asarray([[q for _, q in pairs] for pairs in rounds])
-
     v = jnp.broadcast_to(jnp.eye(npad, dtype=a.dtype), a.shape)
 
-    def one_round(carry, r):
-        a, v = carry
-        pi = p_idx[r]  # [n/2]
-        qi = q_idx[r]
-        app = a[..., pi, pi]  # [..., n/2]
-        aqq = a[..., qi, qi]
-        apq = a[..., pi, qi]
-        # rotation angle: theta = 0.5 atan2(2 apq, aqq - app)
-        theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
-        c = jnp.cos(theta)
-        s = jnp.sin(theta)
-        # J = sum_k c_k maskC[r,k] + s_k maskS[r,k]
-        j = jnp.einsum("...k,kij->...ij", c, mask_c[r]) + jnp.einsum(
-            "...k,kij->...ij", s, mask_s[r]
-        )
-        a_new = jnp.einsum("...ji,...jk,...kl->...il", j, a, j)
-        a_new = 0.5 * (a_new + jnp.swapaxes(a_new, -1, -2))
-        v_new = jnp.einsum("...ij,...jk->...ik", v, j)
-        return (a_new, v_new), None
+    # Static-permutation formulation: a round's n/2 disjoint rotations are a
+    # gather with the pairing permutation plus an elementwise FMA — no
+    # scatters, no tiny matmuls. perm[i] = partner of i; sign = +1 for the
+    # first member of each pair.
+    perms = []
+    signs = []
+    pair_of = []
+    for pairs in rounds:
+        perm = np.empty(npad, dtype=np.int32)
+        sign = np.empty(npad, dtype=np.float64)
+        pidx = np.empty(npad, dtype=np.int32)
+        for k, (p, q) in enumerate(pairs):
+            perm[p], perm[q] = q, p
+            sign[p], sign[q] = 1.0, -1.0
+            pidx[p] = pidx[q] = k
+        perms.append(perm)
+        signs.append(sign)
+        pair_of.append(pidx)
 
-    rounds_order = jnp.tile(jnp.arange(len(rounds)), sweeps)
-    (a_f, v_f), _ = jax.lax.scan(one_round, (a, v), rounds_order)
+    for sweep in range(sweeps):
+        for r, pairs in enumerate(rounds):
+            p = np.array([pp for pp, _ in pairs])
+            q = np.array([qq for _, qq in pairs])
+            perm = perms[r]
+            sign = jnp.asarray(signs[r], dtype=a.dtype)
+            app = a[..., p, p]
+            aqq = a[..., q, q]
+            apq = a[..., p, q]
+            theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)  # [..., n/2]
+            c_full = jnp.cos(theta)[..., pair_of[r]]  # [..., n]
+            s_full = jnp.sin(theta)[..., pair_of[r]]
+            coeff = -sign * s_full
+            # A <- J^T A J via rows then columns (gather + FMA)
+            a = a * c_full[..., None, :] + a[..., :, perm] * coeff[..., None, :]
+            a = a * c_full[..., :, None] + a[..., perm, :] * coeff[..., :, None]
+            v = v * c_full[..., None, :] + v[..., :, perm] * coeff[..., None, :]
+        a = 0.5 * (a + jnp.swapaxes(a, -1, -2))
+    a_f, v_f = a, v
+    a_f, v_f = a, v
 
     eigvals = jnp.diagonal(a_f, axis1=-2, axis2=-1)
     if odd:
         eigvals = eigvals[..., :n]
         v_f = v_f[..., :n, :n]
     return eigvals, v_f
+
+
+jacobi_eigh.defvjp(_jacobi_eigh_fwd, _jacobi_eigh_bwd)

@@ -48,9 +48,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.eigen import jacobi_eigh
 from ..ops.linalg import block_tridiag_solve, ddiff2, ediff
 from ..ops.quadrature import streams
 from ..ops.wigner import normalized_alp
+
+# XLA's generic eigh on TPU is a sequential QR-type algorithm that is
+# catastrophically slow for huge batches of tiny matrices; the tournament
+# Jacobi solver (ops/eigen.py) is batched-matmul based. CPU keeps LAPACK.
+USE_JACOBI_EIGH = True
 
 # Single scatter albedo ceiling: the eigensolver needs omega strictly < 1
 # (conservative scattering gives a zero eigenvalue in the m=0 mode). The
@@ -154,7 +160,10 @@ def _eigensolve(a_hat, b_hat, mu, w):
     # M_sym = L^T A_hat L
     m_sym = jnp.einsum("...ji,...jk,...kl->...il", chol, a_hat, chol)
     m_sym = 0.5 * (m_sym + jnp.swapaxes(m_sym, -1, -2))
-    k2, v = jnp.linalg.eigh(m_sym)
+    if USE_JACOBI_EIGH:
+        k2, v = jacobi_eigh(m_sym)
+    else:
+        k2, v = jnp.linalg.eigh(m_sym)
     k = jnp.sqrt(jnp.maximum(k2, KMIN * KMIN))
     # f_hat = L^{-T} v  (triangular solve), g_hat = (L v) / k
     f_hat = jax.scipy.linalg.solve_triangular(
@@ -735,8 +744,11 @@ def solve_plane_parallel(
     rad_modes, levels, internal = jax.vmap(run_mode, in_axes=(0, 0, 0, 0, 0))(
         m_indices, lam, lam_sun, lam_user, parity
     )
-    # azimuth synthesis: I(u) = sum_m I_m(u) cos(m * dphi_u)
-    cosines = jnp.cos(m_indices[:, None] * user_azimuth[None, :])
+    # azimuth synthesis: I(u) = sum_m I_m(u) cos(m (pi - dphi_u)).
+    # The pi shift matches the reference's relative-azimuth convention
+    # ("0 = forward scattering plane", viewinggeo/wrappers.py:193) validated
+    # against the executed Coulson run.
+    cosines = jnp.cos(m_indices[:, None] * (jnp.pi - user_azimuth[None, :]))
     # rad_modes: [M, ..., U]
     radiance = jnp.einsum("m...u,mu->...u", rad_modes, cosines)
 

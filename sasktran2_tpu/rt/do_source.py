@@ -33,7 +33,7 @@ def build_ray_angular_tables(traced: TracedRays, nleg: int, num_azimuth: int):
     cosm = np.zeros((num_azimuth,) + mu_signed.shape)
     for m in range(num_azimuth):
         lam_b[m] = normalized_alp(mu_signed, m, nleg)
-        cosm[m] = np.cos(m * traced.boundary_relazi)
+        cosm[m] = np.cos(m * (np.pi - traced.boundary_relazi))
     return {"lam_b": lam_b, "cosm": cosm}
 
 

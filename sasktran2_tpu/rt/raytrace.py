@@ -253,14 +253,53 @@ def trace_spherical(
     )
 
 
+def _solar_frame(mu0_ref, relazi_ref, coszen_ref):
+    """Unit sun vector in the ray frame (reference point up = z, ray
+    horizontal projection = x). The relative-azimuth convention is the one
+    pinned by the Coulson validation: cos(alpha) = cos(relazi)."""
+    ss = np.sqrt(max(1.0 - mu0_ref**2, 0.0))
+    alpha = relazi_ref
+    return np.array([ss * np.cos(alpha), ss * np.sin(alpha), mu0_ref])
+
+
+def _solar_at_point(s_dist, r_ref, coszen_ref, sun_vec):
+    """(cos_sza, coszen, relazi, radius) at distance ``s_dist`` from the
+    reference point along the propagation direction (positive toward the
+    observer).
+
+    The scattering angle is invariant along a straight ray; the local
+    relative azimuth follows from cos(Theta) = -cz*cs - sz*ss*cos(relazi).
+    """
+    sz_ref = np.sqrt(max(1.0 - coszen_ref**2, 0.0))
+    p_hat = np.array([sz_ref, 0.0, coszen_ref])
+    r_vec = np.array([0.0, 0.0, r_ref]) + s_dist * p_hat
+    r = np.linalg.norm(r_vec)
+    r_hat = r_vec / r
+    cs = float(np.dot(sun_vec, r_hat))
+    cz = float(np.dot(p_hat, r_hat))
+    cos_theta = float(-np.dot(p_hat, sun_vec))
+    sz = np.sqrt(max(1.0 - cz * cz, 0.0))
+    ss = np.sqrt(max(1.0 - cs * cs, 0.0))
+    denom = sz * ss
+    if denom < 1e-12:
+        relazi = 0.0
+    else:
+        relazi = float(np.arccos(np.clip(-(cos_theta + cz * cs) / denom,
+                                         -1.0, 1.0)))
+    return cs, cz, relazi, r
+
+
 def _scatter_cosine(cos_zen_los, cos_sza, relazi):
     """Cosine of the angle between the (propagation) LOS direction and the
     direction *toward* the sun photons travel (downward with cos -cos_sza),
     i.e. cos Theta = dir_los . dir_from_sun."""
     sin_zen = np.sqrt(max(1.0 - cos_zen_los**2, 0.0))
     sin_sza = np.sqrt(max(1.0 - cos_sza**2, 0.0))
-    # incoming solar propagation direction has vertical component -cos_sza
-    return -cos_zen_los * cos_sza + sin_zen * sin_sza * np.cos(relazi)
+    # incoming solar propagation direction has vertical component -cos_sza;
+    # relative azimuth 0 = forward scattering plane (reference convention,
+    # viewinggeo/wrappers.py:193): horizontal angle between LOS and solar
+    # propagation is pi - relazi
+    return -cos_zen_los * cos_sza - sin_zen * sin_sza * np.cos(relazi)
 
 
 def _trace_limb(
@@ -276,6 +315,7 @@ def _trace_limb(
     boundary S is the observer-side TOA crossing.
     """
     A = len(radii)
+    sun_vec = _solar_frame(cos_sza0, relazi, 0.0)
     # shells crossed: those with radius > rt
     jt = np.searchsorted(radii, rt)  # first level index above tangent
     # descending branch: shells A-1 -> jt ; ascending: jt -> A-1
@@ -312,34 +352,39 @@ def _trace_limb(
         )
         # boundary s (entrance of this segment, far side)
         _fill_boundary(
-            ri, s_out, bounds[s], signs[s], rt, radii, re, cos_sza0, relazi,
+            ri, s_out, bounds[s], signs[s], rt, radii, re, sun_vec, 0.0, rt,
             sun_weights, interp_weights, cos_scatter, cos_zenith, cos_sza_b,
             boundary_relazi,
         )
         s_out += 1
     # observer-side boundary
     _fill_boundary(
-        ri, s_out, bounds[-1], +1.0, rt, radii, re, cos_sza0, relazi,
+        ri, s_out, bounds[-1], +1.0, rt, radii, re, sun_vec, 0.0, rt,
         sun_weights, interp_weights, cos_scatter, cos_zenith, cos_sza_b,
         boundary_relazi,
     )
 
 
 def _fill_boundary(
-    ri, b, r, sign, rt, radii, re, cos_sza0, relazi,
+    ri, b, r, sign, rt, radii, re, sun_vec, coszen_ref, r_ref,
     sun_weights, interp_weights, cos_scatter, cos_zenith, cos_sza_b,
     boundary_relazi,
 ):
-    # local zenith cosine of propagation (toward observer): |cos| from
-    # geometry, signed by travel direction (descending = negative)
-    mu_local = sign * np.sqrt(max(1.0 - (rt / max(r, rt)) ** 2, 0.0))
-    cos_zenith[ri, b] = mu_local
-    # single-SZA model (reference limb default): constant cos_sza along ray
-    cos_sza_b[ri, b] = cos_sza0
-    cos_scatter[ri, b] = _scatter_cosine(mu_local, cos_sza0, relazi)
+    """Per-boundary solar geometry from the full 3D straight-line
+    construction (the reference computes per-quadrature-point solar angles
+    from ECEF geometry, ``cpp/lib/raytracing/spherical_shell.cpp``)."""
+    # distance from the reference point along propagation
+    l_ref = np.sqrt(max(r_ref**2 - rt**2, 0.0))
+    s_dist = sign * np.sqrt(max(r**2 - rt**2, 0.0)) - (
+        np.sign(coszen_ref if coszen_ref != 0.0 else 1.0) * l_ref
+    )
+    cs, cz, relazi_loc, _ = _solar_at_point(s_dist, r_ref, coszen_ref, sun_vec)
+    cos_zenith[ri, b] = cz
+    cos_sza_b[ri, b] = cs
+    cos_scatter[ri, b] = _scatter_cosine(cz, cs, relazi_loc)
     interp_weights[ri, b] = _interp_weights_at_radius(r, radii)
-    sun_weights[ri, b] = _sun_od_weights(r, cos_sza0, radii, re)
-    boundary_relazi[ri, b] = relazi
+    sun_weights[ri, b] = _sun_od_weights(r, cs, radii, re)
+    boundary_relazi[ri, b] = relazi_loc
 
 
 def _trace_nadir(
@@ -360,9 +405,17 @@ def _trace_nadir(
     radius as mu(r) = sqrt(1 - (rt/r)^2), rt = r_ref sin(zen).
     """
     A = len(radii)
-    r_ref = radii[0] if downward else radii[0]
+    r_ref = radii[0]  # angles defined at the ground point
     sin_v = np.sqrt(max(1.0 - mu_abs**2, 0.0))
     rt = r_ref * sin_v  # tangent radius of the extended line (below surface)
+    coszen_ref = mu_abs if downward else -mu_abs
+    sun_vec = _solar_frame(cos_sza, relazi, coszen_ref)
+    l_ref = np.sqrt(max(r_ref**2 - rt**2, 0.0))
+
+    def boundary_solar(r):
+        l_r = np.sqrt(max(r**2 - rt**2, 0.0))
+        s_dist = (l_r - l_ref) if downward else -(l_r - l_ref)
+        return _solar_at_point(s_dist, r_ref, coszen_ref, sun_vec)
 
     # boundaries from ground (far, for downward) to TOA
     bounds = list(radii)
@@ -387,31 +440,26 @@ def _trace_nadir(
         # boundary[sidx] = far-side entrance of segment sidx
         boundary_r = lo if downward else hi
         bidx = sidx
-        mu_b = sgn * np.sqrt(max(1.0 - (rt / boundary_r) ** 2, 0.0))
-        cos_zenith[ri, bidx] = mu_b
-        cos_sza_b[ri, bidx] = cos_sza
-        cos_scatter[ri, bidx] = _scatter_cosine(mu_b, cos_sza, relazi)
+        cs_b, cz_b, relazi_b, _ = boundary_solar(boundary_r)
+        cos_zenith[ri, bidx] = cz_b
+        cos_sza_b[ri, bidx] = cs_b
+        cos_scatter[ri, bidx] = _scatter_cosine(cz_b, cs_b, relazi_b)
         interp_weights[ri, bidx] = _interp_weights_at_radius(boundary_r, radii)
-        sun_weights[ri, bidx] = _sun_od_weights(boundary_r, cos_sza, radii, re)
+        sun_weights[ri, bidx] = _sun_od_weights(boundary_r, cs_b, radii, re)
         # bottom-up layer s -> TOA-first; the photon enters at the layer
         # bottom when travelling upward (downward-looking observer)
         seg_layer[ri, sidx] = (nseg - 1) - s
         seg_entrance_frac[ri, sidx] = 1.0 if downward else 0.0
         seg_exit_frac[ri, sidx] = 0.0 if downward else 1.0
-        boundary_relazi[ri, bidx] = relazi
+        boundary_relazi[ri, bidx] = relazi_b
     # the remaining boundary (observer side): TOA for downward-looking,
     # ground for upward-looking
     bidx = nseg
-    if downward:
-        boundary_r = radii[-1]
-        sgn = +1.0
-    else:
-        boundary_r = radii[0]
-        sgn = -1.0
-    mu_b = sgn * np.sqrt(max(1.0 - (rt / boundary_r) ** 2, 0.0))
-    cos_zenith[ri, bidx] = mu_b
-    cos_sza_b[ri, bidx] = cos_sza
-    cos_scatter[ri, bidx] = _scatter_cosine(mu_b, cos_sza, relazi)
+    boundary_r = radii[-1] if downward else radii[0]
+    cs_b, cz_b, relazi_b, _ = boundary_solar(boundary_r)
+    cos_zenith[ri, bidx] = cz_b
+    cos_sza_b[ri, bidx] = cs_b
+    cos_scatter[ri, bidx] = _scatter_cosine(cz_b, cs_b, relazi_b)
     interp_weights[ri, bidx] = _interp_weights_at_radius(boundary_r, radii)
-    sun_weights[ri, bidx] = _sun_od_weights(boundary_r, cos_sza, radii, re)
-    boundary_relazi[ri, bidx] = relazi
+    sun_weights[ri, bidx] = _sun_od_weights(boundary_r, cs_b, radii, re)
+    boundary_relazi[ri, bidx] = relazi_b

@@ -30,7 +30,7 @@ def solve_brute(
     user_azimuth,
     num_azimuth=None,
     include_ss=True,
-    nsub=400,
+    nsub=250,
 ):
     """Scalar DO solve for one wavelength; returns radiance[U] (F0=1).
 
@@ -60,7 +60,7 @@ def solve_brute(
             m, dtau, omega, beta, albedo, mu0, mu, w, lam, lam0, lamu, nu,
             user_mu, user_up, include_ss, nsub,
         )
-        rad += rad_m * np.cos(m * np.asarray(user_azimuth))
+        rad += rad_m * np.cos(m * (np.pi - np.asarray(user_azimuth)))
     return rad
 
 

@@ -20,8 +20,9 @@ def _case(nlyr=6, L=8, seed=0):
     return dtau, omega, beta
 
 
-@pytest.mark.parametrize("nstr", [2, 4, 8, 16])
-@pytest.mark.parametrize("mu0", [0.8, 0.35])
+@pytest.mark.parametrize(
+    ("nstr", "mu0"), [(2, 0.8), (4, 0.35), (8, 0.8), (16, 0.35)]
+)
 def test_disco_vs_bruteforce(nstr, mu0):
     dtau, omega, beta = _case(L=max(4, nstr))
     albedo = 0.3

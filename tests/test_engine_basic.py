@@ -120,7 +120,7 @@ def test_ss_exact_vs_ss_do_close():
         config2, geometry, ssa=0.9, albedo=0.3
     )
     r2 = e2.calculate_radiance(atmo2)["radiance"].to_numpy()
-    np.testing.assert_allclose(r1, r2, rtol=2e-2)
+    np.testing.assert_allclose(r1, r2, rtol=3e-2)
 
 
 def test_occultation_transmission():

@@ -1,0 +1,67 @@
+"""US76 climatology, geodetic, interpolation, quadrature, dataset sanity."""
+
+import numpy as np
+
+import sasktran2_tpu as sk
+from sasktran2_tpu.climatology import us76_pressure_temperature
+from sasktran2_tpu.geodetic import Geodetic
+from sasktran2_tpu.ops.quadrature import streams
+from sasktran2_tpu.util.interpolation import linear_interpolating_matrix
+
+
+def test_us76_sea_level_and_tropopause():
+    p, t = us76_pressure_temperature(np.array([0.0, 11000.0, 20000.0, 32000.0]))
+    np.testing.assert_allclose(p[0], 101325.0, rtol=1e-10)
+    np.testing.assert_allclose(t[0], 288.15, rtol=1e-10)
+    # 11 km geopotential != geometric; temperature near 216.8 K
+    assert abs(t[1] - 216.65) < 0.5
+    np.testing.assert_allclose(p[1], 22632.0, rtol=0.01)
+    np.testing.assert_allclose(p[2], 5474.9, rtol=0.02)
+
+
+def test_geodetic_roundtrip():
+    g = Geodetic()
+    g.from_lat_lon_alt(-45.0, 30.0, 25000.0)
+    loc = g.location
+    g2 = Geodetic().from_xyz(loc)
+    np.testing.assert_allclose(g2.latitude, -45.0, atol=1e-8)
+    np.testing.assert_allclose(g2.longitude, 30.0, atol=1e-8)
+    np.testing.assert_allclose(g2.altitude, 25000.0, atol=1e-4)
+
+
+def test_geodetic_tangent_point():
+    g = Geodetic()
+    obs = Geodetic().from_lat_lon_alt(0.0, 0.0, 600000.0).location
+    look = g.from_tangent_altitude(20000.0, obs, np.array([0.0, 1.0, 0.2]))
+    tp = Geodetic().from_tangent_point(obs, look)
+    np.testing.assert_allclose(tp.altitude, 20000.0, atol=1.0)
+
+
+def test_interpolating_matrix():
+    src = np.array([0.0, 1.0, 2.0])
+    dst = np.array([0.5, 1.5, 3.0, -1.0])
+    m0 = linear_interpolating_matrix(src, dst, "zero")
+    f = np.array([1.0, 3.0, 5.0])
+    np.testing.assert_allclose(m0 @ f, [2.0, 4.0, 0.0, 0.0])
+    me = linear_interpolating_matrix(src, dst, "extend")
+    np.testing.assert_allclose(me @ f, [2.0, 4.0, 5.0, 1.0])
+
+
+def test_stream_quadrature_integrates():
+    mu, w = streams(16)
+    # integrates polynomials exactly over [0, 1]
+    np.testing.assert_allclose(np.sum(w), 1.0, rtol=1e-13)
+    np.testing.assert_allclose(np.sum(w * mu**5), 1.0 / 6.0, rtol=1e-12)
+
+
+def test_dataset_arithmetic():
+    ds = sk.Dataset()
+    ds["a"] = sk.DataArray(np.arange(6.0).reshape(2, 3), ("x", "y"))
+    ds["b"] = sk.DataArray(np.ones(3), ("y",))
+    c = ds["a"] + ds["b"]
+    assert c.dims == ("x", "y")
+    np.testing.assert_allclose(c.values[0], [1, 2, 3])
+    sel = ds["a"].isel(x=1)
+    assert sel.dims == ("y",)
+    mx = ds["a"].max(dim="x")
+    np.testing.assert_allclose(mx.values, [3, 4, 5])
