@@ -75,10 +75,14 @@ class Engine:
             config.single_scatter_source == SingleScatterSource.Exact
         )
         ms = config.multiple_scatter_source
+        self._needs_so = ms == MultipleScatterSource.SuccessiveOrders
         self._needs_do = ms in (
             MultipleScatterSource.DiscreteOrdinates,
             MultipleScatterSource.TwoStream,
-        ) or config.single_scatter_source == SingleScatterSource.DiscreteOrdinates
+        ) or (
+            config.single_scatter_source == SingleScatterSource.DiscreteOrdinates
+            and not self._needs_so
+        )
         self._do_nstr = (
             2 if ms == MultipleScatterSource.TwoStream else config.num_streams
         )
@@ -103,6 +107,20 @@ class Engine:
         self._flux_groups = []
         if self._needs_do:
             self._build_do_tables()
+
+        if self._needs_so:
+            from .rt import successive
+
+            n_inc = max(4, int(round(config.num_successive_orders_incoming
+                                     ** 0.5)))
+            self._so_geom = successive.build_so_geometry(
+                geometry.altitudes(), geometry.earth_radius_m,
+                geometry.cos_sza, nleg,
+                n_mu=n_inc, n_phi=n_inc,
+            )
+            self._so_obs_tables = successive.observer_source_tables(
+                self._traced, self._so_geom
+            )
 
         self._compute_jit = None
         self._needs_leg_jac = False
@@ -282,6 +300,21 @@ class Engine:
 
         if cfg.occultation_source == OccultationSource.Standard:
             rad = rad + singlescatter.occultation_radiance(ext, self._traced)[0]
+
+        if self._needs_so:
+            from .rt import successive
+            from .rt.singlescatter import integrate_od_source
+
+            _, j_field = successive.successive_orders_field(
+                ext, ssa, leg, alb, self._so_geom,
+                cfg.num_successive_orders_iterations,
+            )
+            j_in, j_out = successive.so_source_along_rays(
+                j_field, self._traced, self._so_obs_tables
+            )
+            rad = rad + f0 * integrate_od_source(
+                ext, j_in, j_out, self._traced
+            )[0]
 
         if self._needs_do:
             from .rt import do_source as do_source_mod

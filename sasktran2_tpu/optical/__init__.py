@@ -1,11 +1,23 @@
 from .base import OpticalProperty
 from .henyey import HenyeyGreenstein
+from .line_absorber import LineAbsorber, LineCatalogue, load_hitran_par
+from .lineshape import voigt_profile, wofz
+from .mie import MieOutput, compute_mie, mie_amplitudes, mie_efficiencies
 from .rayleigh import rayleigh_cross_section_bates
 from .tabulated import TabulatedCrossSectionAbsorber
 
 __all__ = [
     "HenyeyGreenstein",
+    "LineAbsorber",
+    "LineCatalogue",
+    "MieOutput",
     "OpticalProperty",
     "TabulatedCrossSectionAbsorber",
+    "compute_mie",
+    "load_hitran_par",
+    "mie_amplitudes",
+    "mie_efficiencies",
     "rayleigh_cross_section_bates",
+    "voigt_profile",
+    "wofz",
 ]

@@ -1,0 +1,156 @@
+"""HITRAN-style line-by-line absorption cross sections.
+
+Role of the reference's ``rust/sasktran2-rs/src/optical/types/
+line_absorber.rs`` + ``optical/line/db.rs``: given a catalogue of spectral
+lines (center wavenumber, intensity at 296 K, air/self-broadened widths,
+temperature exponent, pressure shift, lower-state energy), produce
+absorption cross sections on a wavenumber grid at arbitrary (P, T) with
+Voigt line shapes.
+
+TPU-first: the (lines x grid) evaluation is chunked over lines with a
+``lax.scan`` accumulating the spectrum, keeping peak memory at
+``chunk x ngrid`` while the inner work is fully vectorized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import OpticalProperty
+from .lineshape import doppler_width, voigt_profile
+
+C2 = 1.4387768775039339  # h c / k_B [cm K]
+
+
+@dataclass
+class LineCatalogue:
+    """Line parameters (HITRAN .par semantics, wavenumbers in cm^-1)."""
+
+    nu0: np.ndarray            # line centers [cm^-1]
+    intensity: np.ndarray      # S at 296 K [cm^-1 / (molec cm^-2)]
+    gamma_air: np.ndarray      # air-broadened HWHM at 296 K, 1 atm [cm^-1]
+    gamma_self: np.ndarray
+    n_air: np.ndarray          # temperature exponent
+    delta_air: np.ndarray      # pressure shift [cm^-1/atm]
+    elower: np.ndarray         # lower-state energy [cm^-1]
+    molar_mass: float          # [kg/mol]
+
+
+class LineAbsorber(OpticalProperty):
+    """Line-by-line absorber (cross sections in m^2/molecule)."""
+
+    def __init__(self, catalogue: LineCatalogue, partition_exponent=1.5,
+                 line_chunk: int = 512, cutoff_cminv: float = 25.0):
+        self.cat = catalogue
+        self.partition_exponent = partition_exponent
+        self.line_chunk = line_chunk
+        self.cutoff = cutoff_cminv
+
+    def cross_section_grid(self, wavenumber_cminv, pressure_pa, temperature_k,
+                           self_vmr=0.0):
+        """xs [len(P/T), len(grid)] in m^2. pressure/temperature arrays give
+        one atmosphere level per row."""
+        grid = jnp.asarray(np.atleast_1d(wavenumber_cminv), dtype=jnp.float64)
+        p = np.atleast_1d(pressure_pa)
+        t = np.atleast_1d(temperature_k)
+        out = []
+        for pi, ti in zip(p, t):
+            out.append(self._xs_single(grid, float(pi), float(ti), self_vmr))
+        return np.stack([np.asarray(o) for o in out])
+
+    def _xs_single(self, grid, pressure_pa, temperature_k, self_vmr):
+        cat = self.cat
+        nlines = len(cat.nu0)
+        chunk = self.line_chunk
+        npad = (-nlines) % chunk
+
+        def pad(a, fill=0.0):
+            return jnp.asarray(
+                np.concatenate([a, np.full(npad, fill)]), dtype=jnp.float64
+            ).reshape(-1, chunk)
+
+        # pad with nu0=1 (not 0) so the stimulated-emission ratio and the
+        # Doppler width stay finite; padded intensities are zero anyway
+        nu0 = pad(cat.nu0, 1.0)
+        s0 = pad(cat.intensity)
+        ga = pad(cat.gamma_air)
+        gs = pad(cat.gamma_self)
+        na = pad(cat.n_air)
+        da = pad(cat.delta_air)
+        el = pad(cat.elower)
+
+        tref = 296.0
+        p_atm = pressure_pa / 101325.0
+        t = temperature_k
+
+        def body(acc, inp):
+            nu0c, s0c, gac, gsc, nac, dac, elc = inp
+            # temperature-scaled intensity (HITRAN convention):
+            # S(T) = S(296) Q(296)/Q(T) exp(-c2 E"/T)/exp(-c2 E"/296)
+            #        (1-exp(-c2 nu0/T))/(1-exp(-c2 nu0/296))
+            qratio = (tref / t) ** self.partition_exponent
+            s = (
+                s0c
+                * qratio
+                * jnp.exp(-C2 * elc / t)
+                / jnp.exp(-C2 * elc / tref)
+                * (1.0 - jnp.exp(-C2 * nu0c / t))
+                / (1.0 - jnp.exp(-C2 * nu0c / tref))
+            )
+            gamma_l = (
+                (tref / t) ** nac
+                * (gac * (1.0 - self_vmr) + gsc * self_vmr)
+                * p_atm
+            )
+            nu_shift = nu0c + dac * p_atm
+            alpha_d = jnp.maximum(
+                doppler_width(nu_shift, t, self.cat.molar_mass), 1e-12
+            )
+            dv = grid[None, :] - nu_shift[:, None]
+            prof = voigt_profile(
+                grid[None, :], nu_shift[:, None], alpha_d[:, None],
+                gamma_l[:, None],
+            )
+            prof = jnp.where(jnp.abs(dv) <= self.cutoff, prof, 0.0)
+            return acc + jnp.sum(s[:, None] * prof, axis=0), None
+
+        init = jnp.zeros_like(grid)
+        acc, _ = jax.lax.scan(body, init, (nu0, s0, ga, gs, na, da, el))
+        # cm^2 -> m^2
+        return acc * 1e-4
+
+    def cross_sections(self, wavelengths_nm, altitudes_m=None,
+                       pressure_pa=None, temperature_k=None, **kwargs):
+        wvn = 1e7 / np.asarray(wavelengths_nm, dtype=np.float64)
+        order = np.argsort(wvn)
+        xs = self.cross_section_grid(wvn[order], pressure_pa, temperature_k)
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        return xs[:, inv]
+
+
+def load_hitran_par(path, molar_mass_kg_mol):
+    """Parse a HITRAN 160-character .par line file into a LineCatalogue
+    (role of the reference's ``optical/line/hitran_loader.rs``)."""
+    nu0, s, ga, gs, na, da, el = [], [], [], [], [], [], []
+    with open(path) as f:
+        for line in f:
+            if len(line) < 100:
+                continue
+            nu0.append(float(line[3:15]))
+            s.append(float(line[15:25]))
+            ga.append(float(line[35:40]))
+            gs.append(float(line[40:45]))
+            el.append(float(line[45:55]))
+            na.append(float(line[55:59]))
+            da.append(float(line[59:67]))
+    return LineCatalogue(
+        nu0=np.array(nu0), intensity=np.array(s),
+        gamma_air=np.array(ga), gamma_self=np.array(gs),
+        n_air=np.array(na), delta_air=np.array(da),
+        elower=np.array(el), molar_mass=molar_mass_kg_mol,
+    )

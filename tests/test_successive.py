@@ -1,0 +1,76 @@
+"""Successive-orders source: consistency with discrete ordinates."""
+
+import numpy as np
+
+import sasktran2_tpu as sk
+from sasktran2_tpu.test_util import default_pure_scattering_atmosphere
+
+
+def _engines(nstr=8, iterations=30):
+    geometry = sk.Geometry1D(
+        cos_sza=0.7, solar_azimuth=0.0, earth_radius_m=6372000.0,
+        altitude_grid_m=np.linspace(0, 60000, 16),
+        geometry_type=sk.GeometryType.Spherical,
+    )
+    viewing = sk.ViewingGeometry()
+    viewing.add_ray(sk.GroundViewingSolar(0.7, 0.4, 0.8, 200000.0))
+
+    c_so = sk.Config(
+        num_streams=nstr,
+        multiple_scatter_source=sk.MultipleScatterSource.SuccessiveOrders,
+        single_scatter_source=sk.SingleScatterSource.Exact,
+        num_singlescatter_moments=4,
+        num_successive_orders_iterations=iterations,
+        num_successive_orders_incoming=100,
+    )
+    c_do = sk.Config(
+        num_streams=nstr,
+        multiple_scatter_source=sk.MultipleScatterSource.DiscreteOrdinates,
+        single_scatter_source=sk.SingleScatterSource.Exact,
+        num_singlescatter_moments=4,
+    )
+    e_so = sk.Engine(c_so, geometry, viewing)
+    e_do = sk.Engine(c_do, geometry, viewing)
+    return c_so, c_do, geometry, e_so, e_do
+
+
+def test_so_vs_do_nadir():
+    c_so, c_do, geometry, e_so, e_do = _engines()
+    a1 = default_pure_scattering_atmosphere(c_so, geometry, ssa=0.8,
+                                            albedo=0.0)
+    r_so = e_so.calculate_radiance(a1)["radiance"].to_numpy()[0, 0, 0]
+    a2 = default_pure_scattering_atmosphere(c_do, geometry, ssa=0.8,
+                                            albedo=0.0)
+    r_do = e_do.calculate_radiance(a2)["radiance"].to_numpy()[0, 0, 0]
+    # independent angular discretizations: agreement at the few-percent level
+    np.testing.assert_allclose(r_so, r_do, rtol=5e-2)
+    assert r_so > 0
+
+
+def test_so_iterations_converge():
+    geometry = sk.Geometry1D(
+        cos_sza=0.7, solar_azimuth=0.0, earth_radius_m=6372000.0,
+        altitude_grid_m=np.linspace(0, 60000, 12),
+        geometry_type=sk.GeometryType.Spherical,
+    )
+    viewing = sk.ViewingGeometry()
+    viewing.add_ray(sk.GroundViewingSolar(0.7, 0.4, 0.8, 200000.0))
+
+    def run(iters):
+        c = sk.Config(
+            num_streams=4,
+            multiple_scatter_source=sk.MultipleScatterSource.SuccessiveOrders,
+            single_scatter_source=sk.SingleScatterSource.Exact,
+            num_singlescatter_moments=4,
+            num_successive_orders_iterations=iters,
+            num_successive_orders_incoming=36,
+        )
+        e = sk.Engine(c, geometry, viewing)
+        a = default_pure_scattering_atmosphere(c, geometry, ssa=0.9,
+                                               albedo=0.2)
+        return e.calculate_radiance(a)["radiance"].to_numpy()[0, 0, 0]
+
+    r5, r15, r30 = run(5), run(15), run(30)
+    # geometric convergence: successive differences shrink
+    assert abs(r30 - r15) < abs(r15 - r5)
+    np.testing.assert_allclose(r15, r30, rtol=1e-3)
