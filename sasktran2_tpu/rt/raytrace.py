@@ -150,6 +150,7 @@ def trace_spherical(
     cos_sza_ref: float,
     rays,
     nsub: int = 1,
+    use_native=True,
 ) -> TracedRays:
     """Trace a set of viewing-geometry rays through 1D spherical shells.
 
@@ -173,6 +174,14 @@ def trace_spherical(
     A = len(radii)
     R = len(rays)
     S = 2 * (A - 1)  # worst case: limb ray through all shells twice
+
+    if use_native:
+        native = _trace_native(radii, earth_radius_m, rays)
+        if native is not None:
+            return native
+        if use_native == "require":
+            msg = "native tracer requested but unavailable"
+            raise RuntimeError(msg)
 
     od_weights = np.zeros((R, S, A))
     sun_weights = np.zeros((R, S + 1, A))
@@ -463,3 +472,59 @@ def _trace_nadir(
     interp_weights[ri, bidx] = _interp_weights_at_radius(boundary_r, radii)
     sun_weights[ri, bidx] = _sun_od_weights(boundary_r, cs_b, radii, re)
     boundary_relazi[ri, bidx] = relazi_b
+
+
+def _trace_native(radii, earth_radius_m, rays) -> TracedRays | None:
+    """Dispatch to the C++ tracer when every ray type is supported."""
+    from ..native import native_trace
+    from ..viewinggeo import (
+        GroundViewingSolar,
+        SolarAnglesObserverLocation,
+        TangentAltitudeSolar,
+    )
+
+    kinds = []
+    params = []
+    tangent_alt = []
+    for ray in rays:
+        if isinstance(ray, TangentAltitudeSolar):
+            kinds.append(0)
+            params.append([
+                earth_radius_m + ray.tangent_altitude_m,
+                ray.cos_sza, ray.relative_azimuth,
+            ])
+            tangent_alt.append(ray.tangent_altitude_m)
+        elif isinstance(ray, (GroundViewingSolar, SolarAnglesObserverLocation)):
+            down = isinstance(ray, GroundViewingSolar) or (
+                ray.cos_viewing_zenith < 0.0
+            )
+            kinds.append(1 if down else 2)
+            params.append([
+                abs(ray.cos_viewing_zenith), ray.cos_sza,
+                ray.relative_azimuth,
+            ])
+            tangent_alt.append(np.nan)
+        else:
+            return None
+    out = native_trace(radii, earth_radius_m, kinds, params)
+    if out is None:
+        return None
+    return TracedRays(
+        od_weights=out["od_weights"],
+        sun_weights=out["sun_weights"],
+        interp_weights=out["interp_weights"],
+        lengths=out["lengths"],
+        mask=out["mask"],
+        cos_scatter=out["cos_scatter"],
+        cos_zenith=out["cos_zenith"],
+        cos_sza=out["cos_sza"],
+        ground_hit=out["ground_hit"].astype(bool),
+        ground_cos_sza=out["ground_cos_sza"],
+        ground_cos_vza=out["ground_cos_vza"],
+        ground_relazi=out["ground_relazi"],
+        tangent_altitude=np.array(tangent_alt),
+        seg_layer=out["seg_layer"],
+        seg_entrance_frac=out["seg_entrance_frac"],
+        seg_exit_frac=out["seg_exit_frac"],
+        boundary_relazi=out["boundary_relazi"],
+    )
