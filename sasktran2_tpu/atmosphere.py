@@ -169,12 +169,16 @@ class Surface:
     def __init__(self, nwavel):
         self.albedo = np.zeros(nwavel)
         self.emission = np.zeros(nwavel)
+        self.brdf = None  # optional BRDF kernel object (rt/brdf.py)
+        self.brdf_args = None  # [nwavel, nargs] when brdf is set
         self._derivative_mappings: dict[str, SurfaceDerivativeMapping] = {}
         self._nwavel = nwavel
 
     def set_zero(self):
         self.albedo[:] = 0
         self.emission[:] = 0
+        self.brdf = None
+        self.brdf_args = None
 
     def get_derivative_mapping(self, name) -> SurfaceDerivativeMapping:
         if name not in self._derivative_mappings:
@@ -381,4 +385,6 @@ class Atmosphere:
             core["leg_a2"] = to_wal(self.leg_coeff.a2)
             core["leg_a3"] = to_wal(self.leg_coeff.a3)
             core["leg_b1"] = to_wal(self.leg_coeff.b1)
+        if self.surface.brdf is not None:
+            core["brdf_args"] = np.ascontiguousarray(self.surface.brdf_args)
         return core

@@ -1,0 +1,169 @@
+"""Scattering constituents: extinction-profile aerosols with arbitrary
+phase expansions.
+
+Covers the roles of the reference's ``NumberDensityScatterer`` /
+``ExtinctionScatterer`` / ``GaussianHeight`` aerosol constituents
+(``rust/sasktran2-rs/src/constituent/types/numden_scatterer.rs``,
+``src/sasktran2/constituent/``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..util.interpolation import linear_interpolating_matrix
+from .base import Constituent
+
+
+class NumberDensityScatterer(Constituent):
+    """Scatterer specified by a number density profile and per-wavelength
+    optical properties (cross sections + Legendre coefficients).
+
+    ``optical`` must provide ``scattering_properties(wavelengths_nm)``
+    returning a dict with ``xs_total`` [W] (m^2), ``ssa`` [W], and
+    ``legendre`` [L, W] (a1, beta_0 = 1 convention).
+    """
+
+    def __init__(self, optical, altitudes_m, number_density):
+        self.optical = optical
+        self._altitudes = np.asarray(altitudes_m, dtype=np.float64)
+        self.number_density = np.asarray(number_density, dtype=np.float64)
+
+    def _profile(self, atmo):
+        interp = linear_interpolating_matrix(
+            self._altitudes, atmo.model_geometry.altitudes(), "extend"
+        )
+        return interp @ self.number_density, interp
+
+    def add_to_atmosphere(self, atmo):
+        props = self.optical.scattering_properties(atmo.wavelengths_nm)
+        nd, _ = self._profile(atmo)
+        k = nd[:, None] * props["xs_total"][None, :]  # [A, W]
+        kscat = k * props["ssa"][None, :]
+        atmo.storage.total_extinction += k
+        atmo.storage.ssa += kscat
+        a1 = atmo.leg_coeff.a1
+        leg = props["legendre"]  # [L, W]
+        L = min(leg.shape[0], a1.shape[0])
+        a1[:L] += kscat[None] * leg[:L, None, :]
+
+    def register_derivative(self, atmo, name: str):
+        props = self.optical.scattering_properties(atmo.wavelengths_nm)
+        nd, interp = self._profile(atmo)
+        k_total = atmo.storage.total_extinction
+        ssa = atmo.storage.ssa
+        a1 = atmo.leg_coeff.a1
+        xs = props["xs_total"][None, :]
+        dk = np.broadcast_to(xs, k_total.shape)
+        dks = xs * props["ssa"][None, :]
+
+        m = atmo.storage.get_derivative_mapping(f"wf_{name}")
+        m.d_extinction[:] = dk
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m.d_ssa[:] = np.where(
+                k_total > 0, (dks - ssa * dk) / k_total, 0.0
+            )
+        kscat_tot = ssa * k_total
+        leg = props["legendre"]
+        L = min(leg.shape[0], a1.shape[0])
+        m.ensure_leg(L)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = np.where(kscat_tot > 0, 1.0 / kscat_tot, 0.0)
+        for li in range(L):
+            m.d_leg_coeff[li] = dks * (leg[li][None, :] - a1[li]) * inv
+        m.interpolator = interp.T
+        m.interp_dim = f"{name}_altitude"
+
+
+class HGScatteringOptical:
+    """Henyey-Greenstein test optical property for scatterers."""
+
+    def __init__(self, xs_total, ssa, g, nleg=16):
+        self.xs_total = np.atleast_1d(np.asarray(xs_total, dtype=np.float64))
+        self.ssa_val = float(ssa)
+        self.g = float(g)
+        self.nleg = nleg
+
+    def scattering_properties(self, wavelengths_nm):
+        W = len(np.atleast_1d(wavelengths_nm))
+        xs = np.broadcast_to(
+            self.xs_total if self.xs_total.size == W else self.xs_total[0],
+            (W,),
+        ).copy()
+        ls = np.arange(self.nleg)
+        leg = np.broadcast_to(
+            ((2 * ls + 1) * self.g**ls)[:, None], (self.nleg, W)
+        ).copy()
+        return {
+            "xs_total": xs,
+            "ssa": np.full(W, self.ssa_val),
+            "legendre": leg,
+        }
+
+
+class MieScatteringOptical:
+    """Mie-derived scattering properties for a lognormal particle size
+    distribution (role of the reference's Mie optical databases,
+    ``src/sasktran2/optical/mie.py`` + ``database/mie.py``)."""
+
+    def __init__(self, refractive_index, median_radius_um, mode_width,
+                 nleg=32, n_quad=40):
+        self.m = refractive_index
+        self.rg = float(median_radius_um)
+        self.sigma_g = float(mode_width)
+        self.nleg = nleg
+        self.n_quad = n_quad
+
+    def scattering_properties(self, wavelengths_nm):
+        import jax.numpy as jnp
+
+        from ..optical.mie import mie_amplitudes, mie_efficiencies
+        from ..ops.quadrature import gauss_legendre
+        from ..ops.wigner import legendre_p
+
+        wl_um = np.atleast_1d(wavelengths_nm) / 1000.0
+        # lognormal quadrature in ln r
+        x_q, w_q = gauss_legendre(self.n_quad)
+        lnr = np.log(self.rg) + 3.5 * np.log(self.sigma_g) * x_q
+        r = np.exp(lnr)
+        pdf = np.exp(-0.5 * ((lnr - np.log(self.rg))
+                             / np.log(self.sigma_g)) ** 2)
+        wts = w_q * pdf
+        wts /= wts.sum()
+
+        # scattering angles for phase reconstruction
+        mu_s, w_s = gauss_legendre(64)
+        pl = legendre_p(mu_s, self.nleg)  # [L, T]
+
+        xs_t, ssa_out, leg_out = [], [], []
+        for wl in wl_um:
+            x = 2.0 * np.pi * r / wl
+            qe, qs = mie_efficiencies(jnp.asarray(x), self.m)
+            s1, s2 = mie_amplitudes(jnp.asarray(x), self.m,
+                                    jnp.asarray(mu_s))
+            area = np.pi * (r * 1e-6) ** 2
+            cext = np.asarray(qe) * area
+            csca = np.asarray(qs) * area
+            k = 2.0 * np.pi / (wl * 1e-6)
+            # ensemble phase function (normalized to 4 pi)
+            p_num = np.einsum(
+                "b,bt->t", wts,
+                (np.abs(np.asarray(s1)) ** 2 + np.abs(np.asarray(s2)) ** 2)
+                / 2.0,
+            ) / k**2
+            csca_bar = float(np.dot(wts, csca))
+            cext_bar = float(np.dot(wts, cext))
+            phase = 4.0 * np.pi * p_num / csca_bar
+            # beta_l = (2l+1)/2 * int P_l(mu) p(mu) dmu  (beta_0 = 1)
+            ls = np.arange(self.nleg)
+            beta = (2 * ls + 1) / 2.0 * np.einsum(
+                "lt,t,t->l", pl, phase, w_s
+            )
+            xs_t.append(cext_bar)
+            ssa_out.append(csca_bar / cext_bar)
+            leg_out.append(beta)
+        return {
+            "xs_total": np.array(xs_t),
+            "ssa": np.array(ssa_out),
+            "legendre": np.stack(leg_out, axis=-1),
+        }

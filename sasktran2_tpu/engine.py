@@ -124,6 +124,7 @@ class Engine:
 
         self._compute_jit = None
         self._needs_leg_jac = False
+        self._surface_brdf = None
 
     # ------------------------------------------------------------------
     def _build_do_tables(self):
@@ -321,6 +322,12 @@ class Engine:
             from .rt.singlescatter import integrate_od_source
 
             dtau, omega, beta = self._layer_optical(ext, ssa, leg)
+            brdf_kw = {}
+            if self._surface_brdf is not None and "brdf_args" in core:
+                brdf_kw = {
+                    "brdf": self._surface_brdf,
+                    "brdf_args": core["brdf_args"],
+                }
             thermal_kw = {}
             if emission_do:
                 # level emission -> (B at layer top, B at layer bottom),
@@ -340,6 +347,7 @@ class Engine:
                     chapman=chapman.get(tables.mu0),
                     f0=f0,
                     **thermal_kw,
+                    **brdf_kw,
                 )[0]
                 rad = rad.at[jnp.asarray(idx)].add(r)
 
@@ -554,6 +562,10 @@ class Engine:
     # ------------------------------------------------------------------
     def calculate_radiance(self, atmosphere: Atmosphere) -> Dataset:
         core_np = atmosphere.internal_object()
+        new_brdf = atmosphere.surface.brdf
+        if getattr(self, "_surface_brdf", None) is not new_brdf:
+            self._compute_jit = None  # different ground model -> new trace
+        self._surface_brdf = new_brdf
         mappings = atmosphere.storage.derivative_mappings
         surf_mappings = atmosphere.surface.derivative_mappings
         needs_jac = atmosphere.calculate_derivatives and (
@@ -683,9 +695,15 @@ class Engine:
                 else:
                     out[vname] = da
 
+        jbrdf = (
+            np.asarray(grads["brdf_args"]) if "brdf_args" in grads else None
+        )
         for name, m in atmosphere.surface.derivative_mappings.items():
-            if jalb is None:
+            if jbrdf is not None and m.d_brdf.shape[1] == jbrdf.shape[-1]:
+                wf = np.einsum("wuk,wk->wu", jbrdf, m.d_brdf)
+            elif jalb is not None:
+                wf = jalb * m.d_brdf[:, 0][:, None]
+            else:
                 continue
-            wf = jalb * m.d_brdf[:, 0][:, None]
             for vname, arr, dims in emit(name, wf):
                 out[vname] = DataArray(arr, dims)

@@ -501,7 +501,7 @@ def _solve_one_mode(
     m_idx, lam, lam_sun, lam_user, parity,
     dtau, omega, beta, t_top, sbar, t_ground,
     albedo, mu, w, mu0, user_mu, user_up, include_ss,
-    f0, thermal,
+    f0, thermal, surface_ops=None,
 ):
     """Full solve of a single azimuth mode, batched over wavelength.
 
@@ -543,36 +543,61 @@ def _solve_one_mode(
         phi_mb = phi_mb + mb
         phi_pt = phi_pt + pt
 
-    # Lambertian ground reflection operator (m=0 only): R_ij = 2 rho w_j mu_j
-    refl = (
-        2.0
-        * is_m0
-        * albedo[..., None, None]
-        * jnp.broadcast_to(w * mu, albedo.shape + (1, len(mu)))
-    )
-    refl = jnp.broadcast_to(refl, albedo.shape + (len(mu), len(mu)))
-    ground_sun = is_m0 * albedo * mu0 * t_ground * f0 / jnp.pi
+    # Ground reflection operators. ``surface_ops`` carries the per-mode
+    # BRDF azimuth moments (rho_hat); Lambertian reduces to the classic
+    # 2 rho w mu rank-one operator at m=0.
+    if surface_ops is None:
+        refl = (
+            2.0
+            * is_m0
+            * albedo[..., None, None]
+            * jnp.broadcast_to(w * mu, albedo.shape + (1, len(mu)))
+        )
+        refl = jnp.broadcast_to(refl, albedo.shape + (len(mu), len(mu)))
+        ground_sun = is_m0 * albedo * mu0 * t_ground * f0 / jnp.pi
+        refl_user = (
+            2.0
+            * is_m0
+            * albedo[..., None, None]
+            * jnp.broadcast_to(w * mu, albedo.shape + (1, len(mu)))
+        )
+        refl_user = jnp.broadcast_to(
+            refl_user, albedo.shape + (len(user_mu), len(mu))
+        )
+        gd_user_sun = ground_sun[..., None] * jnp.ones((len(user_mu),))
+    else:
+        # rho_stream/rho_user: [..., O, N]; rho_sun_*: [..., O]
+        two_minus_delta = jnp.where(m_idx == 0, 1.0, 2.0)
+        refl = 2.0 * jnp.pi * surface_ops["rho_stream"] * (w * mu)
+        refl_user = 2.0 * jnp.pi * surface_ops["rho_user"] * (w * mu)
+        ground_sun = (
+            two_minus_delta
+            * surface_ops["rho_sun_stream"]
+            * (mu0 * t_ground * f0)[..., None]
+        )
+        gd_user_sun = (
+            two_minus_delta
+            * surface_ops["rho_sun_user"]
+            * (mu0 * t_ground * f0)[..., None]
+        )
+
     ground_thermal = (
         is_m0 * (1.0 - albedo) * thermal[2] if thermal is not None else 0.0
     )
-    ground_direct = (ground_sun + ground_thermal)[..., None] * jnp.ones(
-        (len(mu),)
-    )
+    if surface_ops is None:
+        ground_direct = (ground_sun + ground_thermal)[..., None] * jnp.ones(
+            (len(mu),)
+        )
+    else:
+        ground_direct = ground_sun + ground_thermal[..., None] * jnp.ones(
+            (len(mu),)
+        ) if thermal is not None else ground_sun
 
     coeff_l, coeff_m, _ = _bvp_blocks(
         k, x, y, dtau, phi_mb, phi_pt, refl, ground_direct
     )
 
-    refl_user = (
-        2.0
-        * is_m0
-        * albedo[..., None, None]
-        * jnp.broadcast_to(w * mu, albedo.shape + (1, len(mu)))
-    )
-    refl_user = jnp.broadcast_to(
-        refl_user, albedo.shape + (len(user_mu), len(mu))
-    )
-    gd_user_gated = ground_sun[..., None] * jnp.ones((len(user_mu),))
+    gd_user_gated = gd_user_sun
     gd_user_ungated = (
         ground_thermal[..., None] * jnp.ones((len(user_mu),))
         if thermal is not None
@@ -647,6 +672,8 @@ def solve_plane_parallel(
     thermal_b0=None,
     thermal_b1_bottom=None,
     surface_emission=None,
+    brdf=None,
+    brdf_args=None,
 ):
     """Solve the multi-azimuth discrete-ordinates problem for a batch of
     wavelengths in a (pseudo-)spherical-beam plane-parallel atmosphere.
@@ -733,17 +760,49 @@ def solve_plane_parallel(
     else:
         thermal = None
 
-    def run_mode(m_idx, lam_m, lam_sun_m, lam_user_m, parity_m):
+    surface_ops_all = None
+    if brdf is not None:
+        # Per-mode azimuth moments of the BRDF kernel, computed inside the
+        # trace so weighting functions flow to brdf_args (reference BRDF
+        # azimuth expansion, ``surface.h:330-617``). The kernel receives the
+        # geometric relative azimuth pi - x of the internal Fourier variable
+        # (same convention pinning as the radiance synthesis).
+        nq = 64
+        xq = 2.0 * jnp.pi * (jnp.arange(nq, dtype=dt) + 0.5) / nq
+        wq = 1.0 / nq  # (1/2pi) dphi
+        phi_geo = jnp.pi - xq
+        cosmx = jnp.cos(m_indices[:, None].astype(dt) * xq[None, :])  # [M,Q]
+
+        def moments(mu_out, mu_in):
+            kern = brdf.kernel(
+                mu_out[:, None, None], mu_in[None, :, None],
+                phi_geo[None, None, :], brdf_args,
+            )  # [..., O, I, Q] with leading batch from brdf_args
+            return jnp.einsum("...oiq,mq->...moi", kern, cosmx) * wq
+
+        mu0j = jnp.asarray([mu0], dtype=dt)
+        rho_stream = moments(mu, mu)           # [..., M, N, N]
+        rho_user = moments(user_mu, mu)        # [..., M, U, N]
+        rho_sun_stream = moments(mu, mu0j)[..., 0]   # [..., M, N]
+        rho_sun_user = moments(user_mu, mu0j)[..., 0]  # [..., M, U]
+        surface_ops_all = {
+            "rho_stream": jnp.moveaxis(rho_stream, -3, 0),
+            "rho_user": jnp.moveaxis(rho_user, -3, 0),
+            "rho_sun_stream": jnp.moveaxis(rho_sun_stream, -2, 0),
+            "rho_sun_user": jnp.moveaxis(rho_sun_user, -2, 0),
+        }
+
+    def run_mode(m_idx, lam_m, lam_sun_m, lam_user_m, parity_m, surf_m):
         return _solve_one_mode(
             m_idx, lam_m, lam_sun_m, lam_user_m, parity_m,
             dtau, omega, beta, t_top, sbar, t_ground,
             albedo, mu, w, mu0, user_mu, user_up, include_ss,
-            f0, thermal,
+            f0, thermal, surf_m,
         )
 
-    rad_modes, levels, internal = jax.vmap(run_mode, in_axes=(0, 0, 0, 0, 0))(
-        m_indices, lam, lam_sun, lam_user, parity
-    )
+    rad_modes, levels, internal = jax.vmap(
+        run_mode, in_axes=(0, 0, 0, 0, 0, 0 if surface_ops_all else None)
+    )(m_indices, lam, lam_sun, lam_user, parity, surface_ops_all)
     # azimuth synthesis: I(u) = sum_m I_m(u) cos(m (pi - dphi_u)).
     # The pi shift matches the reference's relative-azimuth convention
     # ("0 = forward scattering plane", viewinggeo/wrappers.py:193) validated

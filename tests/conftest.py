@@ -17,3 +17,11 @@ import jax  # noqa: E402
 # ran yet.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite re-jits many engine variants;
+# caching across runs cuts wall time dramatically.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
