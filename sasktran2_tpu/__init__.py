@@ -24,6 +24,7 @@ from .config import (
     ThreadingModel,
 )
 from .dataset import DataArray, Dataset
+from .geodetic import Geodetic
 from .geometry import Geometry1D, Geometry2D
 from .viewinggeo import (
     FluxObserverSolar,
@@ -74,7 +75,8 @@ def __getattr__(name):
 
         globals()["Engine"] = Engine
         return Engine
-    if name in ("constituent", "optical", "climatology", "test_util"):
+    if name in ("constituent", "optical", "climatology", "test_util",
+                "solar", "basis", "parallel"):
         mod = importlib.import_module(f"sasktran2_tpu.{name}")
         globals()[name] = mod
         return mod

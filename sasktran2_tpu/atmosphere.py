@@ -231,7 +231,12 @@ class Atmosphere:
             if self.wavelengths_nm is not None
             else numwavel
         )
-        nalt = model_geometry.num_altitudes
+        from .geometry import Geometry2D
+
+        if isinstance(model_geometry, Geometry2D):
+            nalt = model_geometry.num_horizontal * model_geometry.num_altitudes
+        else:
+            nalt = model_geometry.num_altitudes
         nleg = max(config.num_streams, config.num_singlescatter_moments)
         self.storage = AtmosphereStorage(nalt, nw, nleg, config.num_stokes)
         self.surface = Surface(nw)

@@ -62,14 +62,44 @@ class Engine:
 
         self._dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
 
-        # --- host-side geometry (reference calculate_geometry,
-        # engine.cpp:354-427) -----------------------------------------
-        self._traced = trace_spherical(
-            geometry.altitudes(),
-            geometry.earth_radius_m,
-            geometry.cos_sza,
-            self._rays,
-        )
+        from .geometry import Geometry2D
+
+        self._is_2d = isinstance(geometry, Geometry2D)
+        if self._is_2d:
+            if config.multiple_scatter_source != MultipleScatterSource.NoSource:
+                msg = (
+                    "Geometry2D currently supports single scatter, "
+                    "occultation and emission only (reference restriction, "
+                    "src/sasktran2/engine.py:80-104)"
+                )
+                raise NotImplementedError(msg)
+            from .rt.raytrace2d import trace_2d
+            from .viewinggeo import TangentAltitude
+
+            for r in self._rays:
+                if not isinstance(r, TangentAltitude):
+                    msg = "Geometry2D requires TangentAltitude rays"
+                    raise NotImplementedError(msg)
+            self._traced2d = trace_2d(
+                geometry.altitudes(), geometry.horizontal_angles(),
+                geometry.earth_radius_m, geometry.cos_sza, self._rays,
+            )
+            nleg2 = max(config.num_streams, config.num_singlescatter_moments)
+            from .ops.wigner import legendre_p as _lp
+
+            self._phase_tab2d = np.moveaxis(
+                _lp(self._traced2d.cos_scatter, nleg2), 0, -1
+            )
+            self._traced = None
+        else:
+            # --- host-side geometry (reference calculate_geometry,
+            # engine.cpp:354-427) -------------------------------------
+            self._traced = trace_spherical(
+                geometry.altitudes(),
+                geometry.earth_radius_m,
+                geometry.cos_sza,
+                self._rays,
+            )
 
         self._needs_ss_exact = (
             config.single_scatter_source == SingleScatterSource.Exact
@@ -91,7 +121,7 @@ class Engine:
         )
 
         nleg = max(config.num_streams, config.num_singlescatter_moments)
-        if self._needs_ss_exact:
+        if self._needs_ss_exact and not self._is_2d:
             self._phase_tab = singlescatter.phase_tables(self._traced, nleg)
 
         if config.num_stokes == 3:
@@ -105,6 +135,12 @@ class Engine:
         self._do_groups = []
         self._limb_groups = []
         self._flux_groups = []
+        if self._is_2d:
+            self._needs_do = False
+            self._needs_so = False
+            self._needs_ss_exact = (
+                config.single_scatter_source == SingleScatterSource.Exact
+            )
         if self._needs_do:
             self._build_do_tables()
 
@@ -279,6 +315,17 @@ class Engine:
 
         if cfg.num_stokes == 3:
             return self._radiance_polarized(core)
+
+        if self._is_2d:
+            rad = jnp.zeros((nlos,), dtype=ext.dtype)
+            if self._needs_ss_exact:
+                rad = rad + f0 * singlescatter.integrate_single_scatter_2d(
+                    ext, ssa, leg, self._traced2d, self._phase_tab2d
+                )[0]
+            if cfg.occultation_source == OccultationSource.Standard:
+                od2 = singlescatter.optical_depth_2d(ext, self._traced2d)
+                rad = rad + jnp.exp(-od2)[0]
+            return rad
 
         rad = jnp.zeros((nlos,), dtype=ext.dtype)
 
@@ -562,6 +609,15 @@ class Engine:
     # ------------------------------------------------------------------
     def calculate_radiance(self, atmosphere: Atmosphere) -> Dataset:
         core_np = atmosphere.internal_object()
+        from .util.validation import validate_atmosphere_core
+
+        nloc = (
+            self._geometry.num_horizontal * self._geometry.num_altitudes
+            if self._is_2d else self._geometry.num_altitudes
+        )
+        validate_atmosphere_core(
+            core_np, nloc, self._config.input_validation_mode,
+        )
         new_brdf = atmosphere.surface.brdf
         if getattr(self, "_surface_brdf", None) is not new_brdf:
             self._compute_jit = None  # different ground model -> new trace
@@ -616,9 +672,14 @@ class Engine:
             self._assemble_wfs(out, atmosphere, grads, nlos, with_flux)
 
         if self._config.output_los_optical_depth:
-            od = singlescatter.optical_depth(
-                core["extinction"], self._traced
-            )
+            if self._is_2d:
+                od = singlescatter.optical_depth_2d(
+                    core["extinction"], self._traced2d
+                )
+            else:
+                od = singlescatter.optical_depth(
+                    core["extinction"], self._traced
+                )
             out["los_optical_depth"] = DataArray(
                 np.asarray(od), ("wavelength", "los")
             )

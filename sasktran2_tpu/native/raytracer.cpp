@@ -25,6 +25,30 @@ double l_of(double r, double rt) {
     return v > 0.0 ? std::sqrt(v) : 0.0;
 }
 
+// Exact 2-entry OD weights for a segment inside one shell: for extinction
+// linear in radius, int k dl is analytic via
+// F(l) = (l r(l) + rt^2 asinh(l/rt)) / 2 (mirrors rt/raytrace.py
+// _exact_shell_weights).
+void exact_shell_weights(double l0, double l1, double rt, double r_lo,
+                         double r_hi, double* w_lo, double* w_hi) {
+    double dl = l1 - l0;
+    *w_lo = 0.0;
+    *w_hi = 0.0;
+    if (dl <= 0.0) return;
+    auto F = [rt](double l) {
+        double r = std::sqrt(rt * rt + l * l);
+        if (rt > 0.0) return 0.5 * (l * r + rt * rt * std::asinh(l / rt));
+        return 0.5 * l * std::abs(l);
+    };
+    double i_r = F(l1) - F(l0);
+    double dr = r_hi - r_lo;
+    if (dr <= 0.0) { *w_lo = dl; return; }
+    double wh = (i_r - r_lo * dl) / dr;
+    wh = std::max(0.0, std::min(wh, dl));
+    *w_hi = wh;
+    *w_lo = dl - wh;
+}
+
 int lower_level(const double* radii, int A, double r) {
     // index j with radii[j] <= r < radii[j+1], clamped to [0, A-2]
     int lo = 0, hi = A - 1;
@@ -57,7 +81,6 @@ void sun_od_weights(const double* radii, int A, double earth_radius,
         row[0] = 1e10;
         return;
     }
-    std::vector<double> tmp(A);
     auto leg = [&](double r_from, double r_to) {
         int jf = lower_level(radii, A, r_from);
         int jt = lower_level(radii, A, r_to);
@@ -65,10 +88,11 @@ void sun_od_weights(const double* radii, int A, double earth_radius,
         for (int j = jf; j <= jt; ++j) {
             double r1 = std::min(radii[j + 1], r_to);
             if (r1 <= r0) continue;
-            double ds = l_of(r1, rt) - l_of(r0, rt);
-            double rm = 0.5 * (r0 + r1);
-            interp_weights(radii, A, rm, tmp.data());
-            for (int a = 0; a < A; ++a) row[a] += ds * tmp[a];
+            double wl, wh;
+            exact_shell_weights(l_of(r0, rt), l_of(r1, rt), rt,
+                                radii[j], radii[j + 1], &wl, &wh);
+            row[j] += wl;
+            row[j + 1] += wh;
             r0 = r1;
         }
     };
@@ -191,12 +215,14 @@ void sk_trace_rays(
                 bool descending = s + 1 <= (size_t)ndesc;
                 double sign = descending ? -1.0 : 1.0;
                 double rm = 0.5 * (lo + hi);
-                interp_weights(radii, A, rm, tmp.data());
-                for (int a = 0; a < A; ++a)
-                    od_w[(ri * S + s_out) * A + a] = ds * tmp[a];
+                int jlev = lower_level(radii, A, rm);
+                double wl, wh;
+                exact_shell_weights(l_of(lo, rt), l_of(hi, rt), rt,
+                                    radii[jlev], radii[jlev + 1], &wl, &wh);
+                od_w[(ri * S + s_out) * A + jlev] = wl;
+                od_w[(ri * S + s_out) * A + jlev + 1] = wh;
                 lengths[ri * S + s_out] = ds;
                 mask[ri * S + s_out] = 1.0;
-                int jlev = lower_level(radii, A, rm);
                 seg_layer[ri * S + s_out] = (P - 1) - jlev;
                 double dz = radii[jlev + 1] - radii[jlev];
                 double fin = (radii[jlev + 1] - r0) / dz;
@@ -237,11 +263,12 @@ void sk_trace_rays(
             for (int s = 0; s < P; ++s) {
                 double lo = radii[s], hi = radii[s + 1];
                 double ds = l_of(hi, rt) - l_of(lo, rt);
-                double rm = 0.5 * (lo + hi);
                 int sidx = downward ? s : (P - 1 - s);
-                interp_weights(radii, A, rm, tmp.data());
-                for (int a = 0; a < A; ++a)
-                    od_w[(ri * S + sidx) * A + a] = ds * tmp[a];
+                double wl, wh;
+                exact_shell_weights(l_of(lo, rt), l_of(hi, rt), rt, lo, hi,
+                                    &wl, &wh);
+                od_w[(ri * S + sidx) * A + s] = wl;
+                od_w[(ri * S + sidx) * A + s + 1] = wh;
                 lengths[ri * S + sidx] = ds;
                 mask[ri * S + sidx] = 1.0;
                 double br = downward ? lo : hi;

@@ -72,6 +72,36 @@ class TracedRays:
     boundary_relazi: np.ndarray
 
 
+def _exact_shell_weights(l0, l1, rt, r_lo, r_hi):
+    """Exact 2-entry OD weights for a segment inside one shell.
+
+    For extinction linear in radius between the bounding levels (r_lo,
+    r_hi), ``int k dl`` over the segment [l0, l1] (signed distances from the
+    tangent point, r(l) = hypot(rt, l)) is analytic:
+        int r dl = F(l1) - F(l0),  F(l) = (l r(l) + rt^2 asinh(l/rt)) / 2.
+    Returns (w_lo, w_hi) with seg_od = w_lo k(r_lo) + w_hi k(r_hi). The
+    midpoint rule this replaces under-integrates near the tangent point by
+    several percent.
+    """
+    dl = l1 - l0
+    if dl <= 0:
+        return 0.0, 0.0
+
+    def F(l):
+        r = np.hypot(rt, l)
+        if rt > 0:
+            return 0.5 * (l * r + rt * rt * np.arcsinh(l / rt))
+        return 0.5 * l * abs(l)
+
+    i_r = F(l1) - F(l0)
+    dr = r_hi - r_lo
+    if dr <= 0:
+        return dl, 0.0
+    w_hi = (i_r - r_lo * dl) / dr
+    w_hi = min(max(w_hi, 0.0), dl)
+    return dl - w_hi, w_hi
+
+
 def _shell_path_length(r_shell, rt, s_far, s_near):
     """Path length within a shell for a straight ray with tangent radius rt.
 
@@ -120,7 +150,8 @@ def _sun_od_weights(r, cos_sza_local, radii, earth_radius):
         nonlocal w
         jf = np.clip(np.searchsorted(radii, r_from, side="right") - 1, 0, A - 2)
         jt = np.clip(np.searchsorted(radii, r_to, side="right") - 1, 0, A - 2)
-        # walk shells from r_from up to r_to
+        # walk shells from r_from up to r_to with exact linear-in-radius
+        # quadrature per shell
         r0 = r_from
         for j in range(jf, jt + 1):
             r1 = min(radii[j + 1], r_to)
@@ -128,10 +159,11 @@ def _sun_od_weights(r, cos_sza_local, radii, earth_radius):
                 continue
             l0 = np.sqrt(max(r0**2 - rt**2, 0.0))
             l1 = np.sqrt(max(r1**2 - rt**2, 0.0))
-            ds = l1 - l0
-            rm = 0.5 * (r0 + r1)
-            wr = _interp_weights_at_radius(rm, radii)
-            w += ds * wr
+            w_lo, w_hi = _exact_shell_weights(
+                l0, l1, rt, radii[j], radii[j + 1]
+            )
+            w[j] += w_lo
+            w[j + 1] += w_hi
             r0 = r1
 
     if cos_sza_local >= 0.0:
@@ -347,10 +379,16 @@ def _trace_limb(
         if ds <= 0.0:
             continue
         rm = 0.5 * (lo + hi)
-        od_weights[ri, s_out] = ds * _interp_weights_at_radius(rm, radii)
+        j = int(np.clip(np.searchsorted(radii, rm) - 1, 0, P - 1))
+        # signed distances from the tangent for the exact shell quadrature
+        l_lo = np.sqrt(max(lo**2 - rt**2, 0.0))
+        l_hi = np.sqrt(max(hi**2 - rt**2, 0.0))
+        w_lo, w_hi = _exact_shell_weights(l_lo, l_hi, rt, radii[j],
+                                          radii[j + 1])
+        od_weights[ri, s_out, j] = w_lo
+        od_weights[ri, s_out, j + 1] = w_hi
         lengths[ri, s_out] = ds
         mask[ri, s_out] = 1.0
-        j = int(np.clip(np.searchsorted(radii, rm) - 1, 0, P - 1))
         seg_layer[ri, s_out] = P - 1 - j
         dz_l = radii[j + 1] - radii[j]
         seg_entrance_frac[ri, s_out] = np.clip(
@@ -435,6 +473,7 @@ def _trace_nadir(
         l1 = np.sqrt(max(hi**2 - rt**2, 0.0))
         ds = l1 - l0
         rm = 0.5 * (lo + hi)
+        w_lo2, w_hi2 = _exact_shell_weights(l0, l1, rt, lo, hi)
         if downward:
             # far end = ground: segment order bottom-up
             sidx = s
@@ -443,7 +482,8 @@ def _trace_nadir(
             # far end = TOA: segment order top-down
             sidx = nseg - 1 - s
             sgn = -1.0  # photons travel downward toward ground observer
-        od_weights[ri, sidx] = ds * _interp_weights_at_radius(rm, radii)
+        od_weights[ri, sidx, s] = w_lo2
+        od_weights[ri, sidx, s + 1] = w_hi2
         lengths[ri, sidx] = ds
         mask[ri, sidx] = 1.0
         # boundary[sidx] = far-side entrance of segment sidx

@@ -197,3 +197,57 @@ def occultation_radiance(extinction, traced: TracedRays):
     od = optical_depth(extinction, traced)
     not_ground = 1.0 - jnp.asarray(traced.ground_hit, dtype=extinction.dtype)
     return jnp.exp(-od) * not_ground
+
+
+def integrate_single_scatter_2d(extinction, ssa, leg_coeff, traced2d,
+                                phase_tab):
+    """2D-atmosphere single scatter along in-plane rays (sparse gathers).
+
+    extinction/ssa: [W, nloc] flattened [angle, altitude] fields;
+    leg_coeff: [W, nloc, L]; traced2d: TracedRays2D; phase_tab [R, S+1, L].
+    Returns radiance [W, R].
+    """
+    dt = extinction.dtype
+    od_idx = jnp.asarray(traced2d.od_idx)
+    od_w = jnp.asarray(traced2d.od_w, dtype=dt)
+    sun_idx = jnp.asarray(traced2d.sun_idx)
+    sun_w = jnp.asarray(traced2d.sun_w, dtype=dt)
+    iidx = jnp.asarray(traced2d.interp_idx)
+    iw = jnp.asarray(traced2d.interp_w, dtype=dt)
+    mask = jnp.asarray(traced2d.mask, dtype=dt)
+    pt = jnp.asarray(phase_tab, dtype=dt)
+
+    seg_od = jnp.einsum("wrsk,rsk->wrs", extinction[:, od_idx], od_w)
+    sun_od = jnp.einsum("wrbk,rbk->wrb", extinction[:, sun_idx], sun_w)
+    t_sun = jnp.exp(-jnp.minimum(sun_od, 300.0))
+
+    kscat = extinction * ssa
+    kscat_b = jnp.einsum("wrbk,rbk->wrb", kscat[:, iidx], iw)
+    k_b = jnp.einsum("wrbk,rbk->wrb", extinction[:, iidx], iw)
+    beta_b = jnp.einsum(
+        "wrbkl,rbk->wrbl", (leg_coeff * kscat[..., None])[:, iidx], iw
+    ) / jnp.maximum(kscat_b[..., None], 1e-300)
+    phase_b = jnp.einsum("wrbl,rbl->wrb", beta_b, pt)
+
+    # source per unit length with the reference's endpoint-blended model
+    # (1 - e^-od)/od * mean(J) * len  (singlescattersource.cpp:565-612)
+    j_b = kscat_b * phase_b / (4.0 * jnp.pi) * t_sun
+    j_in = j_b[..., :-1]
+    j_out = j_b[..., 1:]
+    lengths = jnp.asarray(traced2d.lengths, dtype=dt)
+    od = jnp.maximum(seg_od, 0.0) * mask
+    source_factor = jnp.where(
+        od < 1e-12, 1.0 - 0.5 * od, -jnp.expm1(-od) / jnp.maximum(od, 1e-12)
+    )
+    seg_src = source_factor * 0.5 * (j_in + j_out) * lengths * mask
+    closer = jnp.flip(jnp.cumsum(jnp.flip(od, axis=-1), axis=-1), axis=-1) - od
+    return jnp.sum(seg_src * jnp.exp(-closer), axis=-1)
+
+
+def optical_depth_2d(extinction, traced2d):
+    dt = extinction.dtype
+    od_idx = jnp.asarray(traced2d.od_idx)
+    od_w = jnp.asarray(traced2d.od_w, dtype=dt)
+    mask = jnp.asarray(traced2d.mask, dtype=dt)
+    seg_od = jnp.einsum("wrsk,rsk->wrs", extinction[:, od_idx], od_w)
+    return jnp.sum(seg_od * mask, axis=-1)
