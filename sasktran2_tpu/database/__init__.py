@@ -1,0 +1,65 @@
+"""Database access layer.
+
+Role of the reference's ``src/sasktran2/database/`` (CachedDatabase /
+WebDatabase with appdirs caching). This build runs in a zero-egress
+environment: the same API surface is provided, with downloads replaced by
+clear errors pointing at the local-path workflow; any locally-present files
+are used transparently.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+
+def database_root() -> Path:
+    """The local database cache directory (override with
+    SASKTRAN2_TPU_DB_ROOT)."""
+    root = os.environ.get(
+        "SASKTRAN2_TPU_DB_ROOT",
+        os.path.join(os.path.expanduser("~"), ".sasktran2_tpu", "db"),
+    )
+    p = Path(root)
+    p.mkdir(parents=True, exist_ok=True)
+    return p
+
+
+class CachedDatabase:
+    """A locally-cached database directory."""
+
+    def __init__(self, rel_path: str):
+        self._path = database_root() / rel_path
+
+    def path(self, rel: str = "") -> Path:
+        return self._path / rel if rel else self._path
+
+    def exists(self, rel: str = "") -> bool:
+        return self.path(rel).exists()
+
+    def clear(self):
+        import shutil
+
+        if self._path.exists():
+            shutil.rmtree(self._path)
+
+
+class WebDatabase(CachedDatabase):
+    """Reference API parity: a database normally fetched from a URL. In the
+    zero-egress build, ``fetch`` validates the local cache instead of
+    downloading and raises with instructions when data is missing."""
+
+    def __init__(self, url: str, rel_path: str):
+        super().__init__(rel_path)
+        self.url = url
+
+    def fetch(self, rel: str = "") -> Path:
+        p = self.path(rel)
+        if p.exists():
+            return p
+        msg = (
+            f"Database file {p} is not present and this build cannot "
+            f"download ({self.url}). Place the file there manually or set "
+            "SASKTRAN2_TPU_DB_ROOT."
+        )
+        raise FileNotFoundError(msg)

@@ -63,6 +63,32 @@ def ddiff2(a, b, c, delta):
     return jnp.where(small, series, exact)
 
 
+def gauss_solve(a, b):
+    """Batched small-matrix solve by unrolled Gauss-Jordan elimination
+    without pivoting: a [..., K, K], b [..., K, M] -> x [..., K, M].
+
+    XLA's generic LU on TPU is a heavyweight kernel; for the K <= 32 blocks
+    of the DISCO boundary-value problem an unrolled elimination is several
+    times faster. The BVP blocks are well-scaled (homogeneous solutions are
+    normalized and exponentials bounded by 1), so pivoting is unnecessary —
+    the brute-force oracle tests guard this assumption.
+    """
+    K = a.shape[-1]
+    for i in range(K):
+        pivot = a[..., i : i + 1, i : i + 1]  # [..., 1, 1]
+        inv_p = 1.0 / pivot[..., 0]
+        row_a = a[..., i : i + 1, :] * inv_p[..., None]
+        row_b = b[..., i : i + 1, :] * inv_p[..., None]
+        col = a[..., :, i : i + 1]
+        mask = jnp.arange(K) != i
+        col = jnp.where(mask[:, None], col, 0.0)
+        a = a - col * row_a
+        b = b - col * row_b
+        a = a.at[..., i, :].set(row_a[..., 0, :])
+        b = b.at[..., i, :].set(row_b[..., 0, :])
+    return b
+
+
 def block_tridiag_solve(lower, diag, upper, rhs):
     """Solve a batched block-tridiagonal system with the block-Thomas scan.
 
@@ -94,9 +120,11 @@ def block_tridiag_solve(lower, diag, upper, rhs):
         new_rhs = rh - jnp.where(first, 0.0, 1.0) * jnp.einsum(
             "...ij,...j->...i", lo, dprime_prev
         )
-        lu, piv = jax.scipy.linalg.lu_factor(denom)
-        cprime = jax.scipy.linalg.lu_solve((lu, piv), up)
-        dprime = jax.scipy.linalg.lu_solve((lu, piv), new_rhs[..., None])[..., 0]
+        # solve both systems with one elimination (stacked RHS)
+        stacked = jnp.concatenate([up, new_rhs[..., None]], axis=-1)
+        sol = gauss_solve(denom, stacked)
+        cprime = sol[..., :-1]
+        dprime = sol[..., -1]
         return (cprime, dprime, jnp.zeros_like(first)), (cprime, dprime)
 
     K = diag.shape[-1]

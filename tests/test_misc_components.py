@@ -65,3 +65,28 @@ def test_dataset_arithmetic():
     assert sel.dims == ("y",)
     mx = ds["a"].max(dim="x")
     np.testing.assert_allclose(mx.values, [3, 4, 5])
+
+
+def test_photolysis_rate():
+    from sasktran2_tpu.photchem import (
+        calculate_photolysis_rate,
+        irradiance_to_photon_flux,
+    )
+
+    wl = np.linspace(200, 300, 101)
+    xs = np.full(101, 1e-23)
+    qy = np.ones(101)
+    flux = irradiance_to_photon_flux(wl, np.full(101, 0.1))
+    j = calculate_photolysis_rate(wl, xs, qy, flux)
+    # order of magnitude: 1e-23 m^2 * ~1e17 photons/(m^2 s nm) * 100 nm
+    assert 1e-5 < j < 1e-2
+
+
+def test_database_offline():
+    import pytest as _pytest
+
+    from sasktran2_tpu.database import WebDatabase
+
+    db = WebDatabase("https://example.invalid/data.nc", "testdb")
+    with _pytest.raises(FileNotFoundError):
+        db.fetch("missing.nc")
