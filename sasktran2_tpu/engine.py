@@ -244,22 +244,61 @@ class Engine:
             )
             self._flux_groups.append((idx, tables, interp))
 
-        # Limb rays: DO solve per SZA group + analytic source evaluation
-        # along the traced spherical rays (reference interpolated DO source,
-        # ``do_source_interpolated_pp.cpp``)
+        # Limb rays: DO solve per SZA + analytic source evaluation along
+        # the traced spherical rays (reference interpolated DO source,
+        # ``do_source_interpolated_pp.cpp``). With num_do_sza > 1 the DO
+        # field is solved on a SZA grid spanning the rays' local solar
+        # zenith range and the source is interpolated per boundary
+        # (reference SZA-grid storage, ``do_source_diffuse_storage.cpp``).
         self._limb_groups = []
+        self._limb_sza_weights = None
         if limb_groups:
             from .rt import do_source
 
             self._ray_ms_tables = do_source.build_ray_angular_tables(
                 self._traced, nleg_ms, num_azi
             )
-            for mu0, idx in limb_groups.items():
-                tables = disco.build_mode_tables(
-                    self._do_nstr, nleg_ms, mu0, np.array([0.5]),
-                    num_azimuth=num_azi,
+            n_sza = max(1, self._config.num_do_sza)
+            all_idx = np.concatenate([np.array(v) for v in limb_groups.values()])
+            if n_sza == 1:
+                for mu0, idx in limb_groups.items():
+                    tables = disco.build_mode_tables(
+                        self._do_nstr, nleg_ms, mu0, np.array([0.5]),
+                        num_azimuth=num_azi,
+                    )
+                    self._limb_groups.append((np.array(idx), [tables]))
+            else:
+                cs = self._traced.cos_sza[all_idx]
+                seg_mask = self._traced.mask[all_idx]
+                # boundary b is real when segment b or segment b-1 exists
+                bmask = np.zeros(cs.shape)
+                bmask[:, :-1] += seg_mask
+                bmask[:, 1:] += seg_mask
+                cs_valid = cs[bmask > 0]
+                lo, hi = float(cs_valid.min()), float(cs_valid.max())
+                if hi - lo < 1e-6:
+                    hi = lo + 1e-6
+                sza_grid = np.linspace(lo, hi, n_sza)
+                tables_list = [
+                    disco.build_mode_tables(
+                        self._do_nstr, nleg_ms, float(m0), np.array([0.5]),
+                        num_azimuth=num_azi,
+                    )
+                    for m0 in sza_grid
+                ]
+                # per-boundary linear interpolation weights on the sza grid
+                from .util.interpolation import linear_interpolating_matrix
+
+                B = self._traced.cos_sza.shape[1]
+                wts = np.zeros((len(self._traced.cos_sza), B, n_sza))
+                interp = linear_interpolating_matrix(
+                    sza_grid, self._traced.cos_sza.ravel(), "extend"
                 )
-                self._limb_groups.append((np.array(idx), tables))
+                wts = interp.reshape(
+                    self._traced.cos_sza.shape + (n_sza,)
+                )
+                self._limb_sza_weights = wts
+                self._limb_groups.append((all_idx, tables_list))
 
     # ------------------------------------------------------------------
     def _layer_optical(self, extinction, ssa, leg_coeff):
@@ -398,20 +437,39 @@ class Engine:
                 )[0]
                 rad = rad.at[jnp.asarray(idx)].add(r)
 
-            for idx, tables in self._limb_groups:
-                _, internal = disco.solve_plane_parallel(
-                    dtau, omega, beta, alb, tables,
-                    np.array([True]), np.array([0.0]),
-                    include_ss=self._do_include_ss,
-                    chapman=chapman.get(tables.mu0),
-                    return_internal=True,
-                    f0=f0,
-                    **thermal_kw,
-                )
-                j_in, j_out = do_source_mod.ms_source_along_rays(
-                    internal, self._traced, self._ray_ms_tables,
-                    include_ss=self._do_include_ss,
-                )
+            for idx, tables_list in self._limb_groups:
+                j_in_list, j_out_list = [], []
+                for tables in tables_list:
+                    _, internal = disco.solve_plane_parallel(
+                        dtau, omega, beta, alb, tables,
+                        np.array([True]), np.array([0.0]),
+                        include_ss=self._do_include_ss,
+                        chapman=chapman.get(tables.mu0),
+                        return_internal=True,
+                        f0=f0,
+                        **thermal_kw,
+                    )
+                    ji, jo = do_source_mod.ms_source_along_rays(
+                        internal, self._traced, self._ray_ms_tables,
+                        include_ss=self._do_include_ss,
+                    )
+                    j_in_list.append(ji)
+                    j_out_list.append(jo)
+                if len(tables_list) == 1:
+                    j_in, j_out = j_in_list[0], j_out_list[0]
+                else:
+                    wts = jnp.asarray(
+                        self._limb_sza_weights, dtype=ext.dtype
+                    )  # [R, S+1, n_sza]
+                    ji_stack = jnp.stack(j_in_list, axis=-1)   # [W,R,S,n]
+                    jo_stack = jnp.stack(j_out_list, axis=-1)
+                    S = ji_stack.shape[-2]
+                    j_in = jnp.einsum(
+                        "wrsn,rsn->wrs", ji_stack, wts[:, :S]
+                    )
+                    j_out = jnp.einsum(
+                        "wrsn,rsn->wrs", jo_stack, wts[:, 1 : S + 1]
+                    )
                 ms_rad = integrate_od_source(ext, j_in, j_out, self._traced)[0]
                 rad = rad.at[jnp.asarray(idx)].add(ms_rad[jnp.asarray(idx)])
 

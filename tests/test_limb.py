@@ -122,3 +122,22 @@ def test_limb_wf_extinction_vs_numeric():
     )
     validate_wf(ds["wf_extinction"], ds["wf_extinction_numeric"],
                 wf_dim="altitude", decimal=5)
+
+
+def test_limb_sza_grid_consistent():
+    """num_do_sza > 1 must agree with the single-SZA solve when the SZA
+    varies little, and produce finite physical output when it varies a lot."""
+    config, geometry, viewing = _limb_setup(tangents=(15000.0, 25000.0))
+    atmo_args = dict(ssa=0.9, albedo=0.3)
+    e1 = sk.Engine(config, geometry, viewing)
+    a1 = default_pure_scattering_atmosphere(config, geometry, **atmo_args)
+    r1 = e1.calculate_radiance(a1)["radiance"].to_numpy()[0, :, 0]
+
+    import dataclasses
+    c2 = dataclasses.replace(config, num_do_sza=4)
+    e2 = sk.Engine(c2, geometry, viewing)
+    a2 = default_pure_scattering_atmosphere(c2, geometry, **atmo_args)
+    r2 = e2.calculate_radiance(a2)["radiance"].to_numpy()[0, :, 0]
+    # the SZA range across these rays is modest; fields agree to ~1%
+    np.testing.assert_allclose(r2, r1, rtol=2e-2)
+    assert np.all(np.isfinite(r2))
