@@ -39,6 +39,7 @@ from .dataset import DataArray, Dataset
 from .geometry import Geometry1D
 from .rt import disco, singlescatter
 from .rt.raytrace import trace_spherical
+from .util.jaxmath import safe_div
 from .viewinggeo import (
     GroundViewingSolar,
     SolarAnglesObserverLocation,
@@ -99,6 +100,9 @@ class Engine:
                 geometry.earth_radius_m,
                 geometry.cos_sza,
                 self._rays,
+                refractive_index=geometry.refractive_index,
+                los_refraction=config.los_refraction,
+                solar_refraction=config.solar_refraction,
             )
 
         self._needs_ss_exact = (
@@ -319,12 +323,12 @@ class Engine:
         k_avg = 0.5 * (k_lo + k_hi)
         ks_avg = 0.5 * (ks_lo + ks_hi)
         dtau = k_avg * dz
-        omega = ks_avg / jnp.maximum(k_avg, 1e-300)
+        omega = safe_div(ks_avg, k_avg)
 
         def avg_leg(lc):
             bl = lc[..., :-1, :] * ks_lo[..., None]
             bh = lc[..., 1:, :] * ks_hi[..., None]
-            beta = 0.5 * (bl + bh) / jnp.maximum(ks_avg[..., None], 1e-300)
+            beta = safe_div(0.5 * (bl + bh), ks_avg[..., None])
             return beta[..., ::-1, :]
 
         if isinstance(leg_coeff, (tuple, list)):
@@ -613,6 +617,18 @@ class Engine:
             radii = re + alts  # bottom-up levels
             # layer boundaries top-down: layer p spans levels [A-1-p, A-2-p]
             c = np.zeros((P, P))
+            if self._config.solar_refraction:
+                from .rt.refraction import RefractiveShellIntegrator
+
+                integ = RefractiveShellIntegrator(
+                    radii, self._geometry.refractive_index
+                )
+                for p in range(P):
+                    r_b = radii[P - 1 - p]
+                    row = integ.chapman_row(r_b, mu0)  # bottom-up shells
+                    c[p, : p + 1] = row[::-1][: p + 1]
+                out[mu0] = c
+                continue
             for p in range(P):
                 r_b = radii[P - 1 - p]  # bottom boundary of layer p (TOA-first)
                 rt = r_b * np.sqrt(max(1.0 - mu0 * mu0, 0.0))
@@ -741,6 +757,12 @@ class Engine:
             out["los_optical_depth"] = DataArray(
                 np.asarray(od), ("wavelength", "los")
             )
+
+        from .viewinggeo import ViewingGeometryContainer
+
+        if isinstance(self._viewing, ViewingGeometryContainer):
+            # merge per-ray geometry metadata (reference engine.py:245)
+            out = self._viewing.add_geometry_to_radiance(out)
         return out
 
     # ------------------------------------------------------------------

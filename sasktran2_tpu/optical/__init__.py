@@ -21,3 +21,4 @@ __all__ = [
     "voigt_profile",
     "wofz",
 ]
+from . import refraction  # noqa: E402  (submodule: sk.optical.refraction)

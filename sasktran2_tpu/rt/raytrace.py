@@ -183,6 +183,9 @@ def trace_spherical(
     rays,
     nsub: int = 1,
     use_native=True,
+    refractive_index: np.ndarray | None = None,
+    los_refraction: bool = False,
+    solar_refraction: bool = False,
 ) -> TracedRays:
     """Trace a set of viewing-geometry rays through 1D spherical shells.
 
@@ -206,6 +209,22 @@ def trace_spherical(
     A = len(radii)
     R = len(rays)
     S = 2 * (A - 1)  # worst case: limb ray through all shells twice
+
+    refracting = los_refraction or solar_refraction
+    if refracting:
+        from .refraction import RefractiveShellIntegrator
+
+        integ = RefractiveShellIntegrator(radii, refractive_index)
+        use_native = False  # refraction is traced on the Python path
+        if solar_refraction:
+            def sun_od_fn(r, cs):
+                return integ.sun_od_weights(r, cs, earth_radius_m)
+        else:
+            def sun_od_fn(r, cs):
+                return _sun_od_weights(r, cs, radii, earth_radius_m)
+    else:
+        integ = None
+        sun_od_fn = None
 
     if use_native:
         native = _trace_native(radii, earth_radius_m, rays)
@@ -233,42 +252,46 @@ def trace_spherical(
     seg_exit_frac = np.zeros((R, S))
     boundary_relazi = np.zeros((R, S + 1))
 
+    out_arrays = (
+        od_weights, sun_weights, interp_weights, lengths, mask,
+        cos_scatter, cos_zenith, cos_sza_b,
+        seg_layer, seg_entrance_frac, seg_exit_frac, boundary_relazi,
+    )
+
     for ri, ray in enumerate(rays):
         if isinstance(ray, TangentAltitudeSolar):
             rt = earth_radius_m + ray.tangent_altitude_m
             tangent_alt[ri] = ray.tangent_altitude_m
             cos_sza0 = ray.cos_sza
             relazi = ray.relative_azimuth
-            _trace_limb(
-                ri, rt, radii, earth_radius_m, cos_sza0, relazi,
-                od_weights, sun_weights, interp_weights, lengths, mask,
-                cos_scatter, cos_zenith, cos_sza_b,
-                seg_layer, seg_entrance_frac, seg_exit_frac, boundary_relazi,
-            )
+            if los_refraction:
+                hit = _trace_limb_curved(
+                    ri, rt, radii, earth_radius_m, cos_sza0, relazi,
+                    integ, sun_od_fn, *out_arrays,
+                )
+                if hit is not None:
+                    ground_hit[ri] = True
+                    g_cos_sza[ri], g_cos_vza[ri], g_relazi[ri] = hit
+            else:
+                _trace_limb(
+                    ri, rt, radii, earth_radius_m, cos_sza0, relazi,
+                    *out_arrays, sun_od_fn=sun_od_fn,
+                )
         elif isinstance(ray, (GroundViewingSolar, SolarAnglesObserverLocation)):
             muv = ray.cos_viewing_zenith
-            if isinstance(ray, GroundViewingSolar) or muv < 0.0:
-                # downward-looking: ray hits the ground
-                mu_abs = abs(muv)
+            down = isinstance(ray, GroundViewingSolar) or muv < 0.0
+            if down:
                 ground_hit[ri] = True
                 g_cos_sza[ri] = ray.cos_sza
-                g_cos_vza[ri] = mu_abs
+                g_cos_vza[ri] = abs(muv)
                 g_relazi[ri] = ray.relative_azimuth
-                _trace_nadir(
-                    ri, mu_abs, radii, earth_radius_m, ray.cos_sza,
-                    ray.relative_azimuth, True,
-                    od_weights, sun_weights, interp_weights, lengths, mask,
-                    cos_scatter, cos_zenith, cos_sza_b,
-                    seg_layer, seg_entrance_frac, seg_exit_frac, boundary_relazi,
-                )
-            else:
-                _trace_nadir(
-                    ri, muv, radii, earth_radius_m, ray.cos_sza,
-                    ray.relative_azimuth, False,
-                    od_weights, sun_weights, interp_weights, lengths, mask,
-                    cos_scatter, cos_zenith, cos_sza_b,
-                    seg_layer, seg_entrance_frac, seg_exit_frac, boundary_relazi,
-                )
+            nadir_fn = _trace_nadir_curved if los_refraction else _trace_nadir
+            extra = {"integ": integ} if los_refraction else {}
+            nadir_fn(
+                ri, abs(muv), radii, earth_radius_m, ray.cos_sza,
+                ray.relative_azimuth, down,
+                *out_arrays, sun_od_fn=sun_od_fn, **extra,
+            )
         else:
             msg = f"Unsupported ray policy for spherical tracing: {type(ray)}"
             raise NotImplementedError(msg)
@@ -348,6 +371,7 @@ def _trace_limb(
     od_weights, sun_weights, interp_weights, lengths, mask,
     cos_scatter, cos_zenith, cos_sza_b,
     seg_layer, seg_entrance_frac, seg_exit_frac, boundary_relazi,
+    sun_od_fn=None,
 ):
     """Limb ray: enters at TOA, descends to tangent point, ascends to TOA.
 
@@ -401,21 +425,21 @@ def _trace_limb(
         _fill_boundary(
             ri, s_out, bounds[s], signs[s], rt, radii, re, sun_vec, 0.0, rt,
             sun_weights, interp_weights, cos_scatter, cos_zenith, cos_sza_b,
-            boundary_relazi,
+            boundary_relazi, sun_od_fn=sun_od_fn,
         )
         s_out += 1
     # observer-side boundary
     _fill_boundary(
         ri, s_out, bounds[-1], +1.0, rt, radii, re, sun_vec, 0.0, rt,
         sun_weights, interp_weights, cos_scatter, cos_zenith, cos_sza_b,
-        boundary_relazi,
+        boundary_relazi, sun_od_fn=sun_od_fn,
     )
 
 
 def _fill_boundary(
     ri, b, r, sign, rt, radii, re, sun_vec, coszen_ref, r_ref,
     sun_weights, interp_weights, cos_scatter, cos_zenith, cos_sza_b,
-    boundary_relazi,
+    boundary_relazi, sun_od_fn=None,
 ):
     """Per-boundary solar geometry from the full 3D straight-line
     construction (the reference computes per-quadrature-point solar angles
@@ -430,7 +454,10 @@ def _fill_boundary(
     cos_sza_b[ri, b] = cs
     cos_scatter[ri, b] = _scatter_cosine(cz, cs, relazi_loc)
     interp_weights[ri, b] = _interp_weights_at_radius(r, radii)
-    sun_weights[ri, b] = _sun_od_weights(r, cs, radii, re)
+    if sun_od_fn is None:
+        sun_weights[ri, b] = _sun_od_weights(r, cs, radii, re)
+    else:
+        sun_weights[ri, b] = sun_od_fn(r, cs)
     boundary_relazi[ri, b] = relazi_loc
 
 
@@ -439,6 +466,7 @@ def _trace_nadir(
     od_weights, sun_weights, interp_weights, lengths, mask,
     cos_scatter, cos_zenith, cos_sza_b,
     seg_layer, seg_entrance_frac, seg_exit_frac, boundary_relazi,
+    sun_od_fn=None,
 ):
     """Ground-viewing (downward) or upward-looking ray through all shells.
 
@@ -494,7 +522,10 @@ def _trace_nadir(
         cos_sza_b[ri, bidx] = cs_b
         cos_scatter[ri, bidx] = _scatter_cosine(cz_b, cs_b, relazi_b)
         interp_weights[ri, bidx] = _interp_weights_at_radius(boundary_r, radii)
-        sun_weights[ri, bidx] = _sun_od_weights(boundary_r, cs_b, radii, re)
+        sun_weights[ri, bidx] = (
+            _sun_od_weights(boundary_r, cs_b, radii, re)
+            if sun_od_fn is None else sun_od_fn(boundary_r, cs_b)
+        )
         # bottom-up layer s -> TOA-first; the photon enters at the layer
         # bottom when travelling upward (downward-looking observer)
         seg_layer[ri, sidx] = (nseg - 1) - s
@@ -510,8 +541,212 @@ def _trace_nadir(
     cos_sza_b[ri, bidx] = cs_b
     cos_scatter[ri, bidx] = _scatter_cosine(cz_b, cs_b, relazi_b)
     interp_weights[ri, bidx] = _interp_weights_at_radius(boundary_r, radii)
-    sun_weights[ri, bidx] = _sun_od_weights(boundary_r, cs_b, radii, re)
+    sun_weights[ri, bidx] = (
+        _sun_od_weights(boundary_r, cs_b, radii, re)
+        if sun_od_fn is None else sun_od_fn(boundary_r, cs_b)
+    )
     boundary_relazi[ri, bidx] = relazi_b
+
+
+def _curved_boundary(
+    ri, b, r, phi, cos_prop, radii, sun_vec,
+    sun_weights, interp_weights, cos_scatter, cos_zenith, cos_sza_b,
+    boundary_relazi, sun_od_fn,
+):
+    """Boundary solar geometry for a refracted ray, evaluated in the ray
+    plane: z = local up at the reference point, x = horizontal propagation
+    direction there, phi = earth-center angle from the reference point
+    (increasing along +x).  ``cos_prop`` is the radial cosine of the
+    propagation direction at the boundary."""
+    r_hat = np.array([np.sin(phi), 0.0, np.cos(phi)])
+    phi_hat = np.array([np.cos(phi), 0.0, -np.sin(phi)])
+    sin_prop = np.sqrt(max(1.0 - cos_prop * cos_prop, 0.0))
+    d_hat = cos_prop * r_hat + sin_prop * phi_hat
+    cs = float(np.dot(sun_vec, r_hat))
+    cz = float(cos_prop)
+    cos_theta = float(-np.dot(d_hat, sun_vec))
+    sz = np.sqrt(max(1.0 - cz * cz, 0.0))
+    ss = np.sqrt(max(1.0 - cs * cs, 0.0))
+    denom = sz * ss
+    if denom < 1e-12:
+        relazi_loc = 0.0
+    else:
+        relazi_loc = float(
+            np.arccos(np.clip(-(cos_theta + cz * cs) / denom, -1.0, 1.0))
+        )
+    cos_zenith[ri, b] = cz
+    cos_sza_b[ri, b] = cs
+    cos_scatter[ri, b] = _scatter_cosine(cz, cs, relazi_loc)
+    interp_weights[ri, b] = _interp_weights_at_radius(r, radii)
+    sun_weights[ri, b] = sun_od_fn(r, cs)
+    boundary_relazi[ri, b] = relazi_loc
+    return cs, cz, relazi_loc
+
+
+def _trace_limb_curved(
+    ri, rt_straight, radii, re, cos_sza0, relazi, integ, sun_od_fn,
+    od_weights, sun_weights, interp_weights, lengths, mask,
+    cos_scatter, cos_zenith, cos_sza_b,
+    seg_layer, seg_entrance_frac, seg_exit_frac, boundary_relazi,
+):
+    """Limb ray traced along the refracted (Bouguer) path.
+
+    The straight-line tangent radius fixes the ray invariant (the observer
+    sits in vacuum): n(rt) rt = rt_straight, so the refracted ray dips
+    below the geometric tangent point (reference ``refraction.h:52-95``).
+    Returns None, or (cos_sza, cos_vza, relazi) at the ground for rays bent
+    into the surface.
+    """
+    A = len(radii)
+    P = A - 1
+    sun_vec = _solar_frame(cos_sza0, relazi, 0.0)
+    rt = integ.tangent_radius(rt_straight)
+    nt = integ.n_at(rt)
+    hits_ground = rt < radii[0]
+
+    if hits_ground:
+        # observed branch: ground -> near TOA, ascending (photons leave the
+        # surface upward toward the exo-atmospheric observer)
+        bounds = list(radii)
+        signs = [+1.0] * (len(bounds) - 1)
+        phi0 = integ.shell_integral(rt, nt, rt, radii[0], rt, radii[0])[3]
+    else:
+        jt = np.searchsorted(radii, rt)
+        desc = list(range(A - 1, jt - 1, -1))
+        bounds = (
+            [radii[j] for j in desc] + [rt] + [radii[j] for j in reversed(desc)]
+        )
+        signs = [-1.0] * len(desc) + [+1.0] * len(desc)
+        phi0 = 0.0
+
+    # phi at each boundary, accumulated along propagation from the far end
+    nseg = len(bounds) - 1
+    seg_data = []
+    for s in range(nseg):
+        r0, r1 = bounds[s], bounds[s + 1]
+        lo, hi = min(r0, r1), max(r0, r1)
+        if hi <= lo:
+            seg_data.append(None)
+            continue
+        rm = 0.5 * (lo + hi)
+        j = int(np.clip(np.searchsorted(radii, rm) - 1, 0, P - 1))
+        seg_data.append(
+            (j, *integ.shell_integral(rt, nt, lo, hi, radii[j], radii[j + 1]))
+        )
+
+    # phi of the far-end boundary: sum of swept angles from the tangent
+    # (phi=0) out to the far end, negated (far side), plus the ground offset
+    phi_far = phi0 if hits_ground else 0.0
+    if not hits_ground:
+        for s in range(nseg):
+            if signs[s] < 0 and seg_data[s] is not None:
+                phi_far += seg_data[s][4]
+        phi_far = -phi_far
+    ground_geo = None
+
+    phi = phi_far
+    s_out = 0
+    for s in range(nseg):
+        if seg_data[s] is None:
+            continue
+        j, length, w_lo, w_hi, dphi = seg_data[s]
+        r_b = bounds[s]
+        sinp = min(nt * rt / (integ.n_at(r_b) * r_b), 1.0) if r_b > 0 else 1.0
+        cos_prop = signs[s] * np.sqrt(max(1.0 - sinp * sinp, 0.0))
+        geo = _curved_boundary(
+            ri, s_out, r_b, phi, cos_prop, radii, sun_vec,
+            sun_weights, interp_weights, cos_scatter, cos_zenith, cos_sza_b,
+            boundary_relazi, sun_od_fn,
+        )
+        if hits_ground and s == 0:
+            ground_geo = (geo[0], abs(cos_prop), geo[2])
+        od_weights[ri, s_out, j] = w_lo
+        od_weights[ri, s_out, j + 1] = w_hi
+        lengths[ri, s_out] = length
+        mask[ri, s_out] = 1.0
+        seg_layer[ri, s_out] = P - 1 - j
+        dz_l = radii[j + 1] - radii[j]
+        seg_entrance_frac[ri, s_out] = np.clip(
+            (radii[j + 1] - bounds[s]) / dz_l, 0.0, 1.0
+        )
+        seg_exit_frac[ri, s_out] = np.clip(
+            (radii[j + 1] - bounds[s + 1]) / dz_l, 0.0, 1.0
+        )
+        phi += dphi
+        s_out += 1
+    # observer-side boundary (TOA, ascending)
+    r_b = bounds[-1]
+    sinp = min(nt * rt / (integ.n_at(r_b) * r_b), 1.0)
+    cos_prop = np.sqrt(max(1.0 - sinp * sinp, 0.0))
+    _curved_boundary(
+        ri, s_out, r_b, phi, cos_prop, radii, sun_vec,
+        sun_weights, interp_weights, cos_scatter, cos_zenith, cos_sza_b,
+        boundary_relazi, sun_od_fn,
+    )
+    return ground_geo
+
+
+def _trace_nadir_curved(
+    ri, mu_abs, radii, re, cos_sza, relazi, downward,
+    od_weights, sun_weights, interp_weights, lengths, mask,
+    cos_scatter, cos_zenith, cos_sza_b,
+    seg_layer, seg_entrance_frac, seg_exit_frac, boundary_relazi,
+    sun_od_fn=None, integ=None,
+):
+    """Refracted ground-viewing / upward-looking ray (angles defined at the
+    ground reference point, as in the straight ``_trace_nadir``)."""
+    A = len(radii)
+    r_ref = radii[0]
+    sin_v = np.sqrt(max(1.0 - mu_abs * mu_abs, 0.0))
+    invariant = integ.n_at(r_ref) * r_ref * sin_v
+    rt = integ.tangent_radius(invariant)
+    rt = min(rt, r_ref)  # virtual tangent at/below the surface
+    nt = integ.n_at(rt)
+    coszen_ref = mu_abs if downward else -mu_abs
+    sun_vec = _solar_frame(cos_sza, relazi, coszen_ref)
+
+    nseg = A - 1
+    # per-shell curved integrals, bottom-up, and cumulative phi from ground
+    phi_lv = np.zeros(A)
+    shell = []
+    for s in range(nseg):
+        j, (length, w_lo, w_hi, dphi) = s, integ.shell_integral(
+            rt, nt, radii[s], radii[s + 1], radii[s], radii[s + 1]
+        )
+        shell.append((j, length, w_lo, w_hi))
+        phi_lv[s + 1] = phi_lv[s] + dphi
+
+    def boundary(b_out, r, lvl, ascending_prop):
+        sinp = min(nt * rt / (integ.n_at(r) * r), 1.0)
+        cos_prop = (1.0 if ascending_prop else -1.0) * np.sqrt(
+            max(1.0 - sinp * sinp, 0.0)
+        )
+        phi = phi_lv[lvl] if downward else -phi_lv[lvl]
+        _curved_boundary(
+            ri, b_out, r, phi, cos_prop, radii, sun_vec,
+            sun_weights, interp_weights, cos_scatter, cos_zenith, cos_sza_b,
+            boundary_relazi, sun_od_fn,
+        )
+
+    for s in range(nseg):
+        j, length, w_lo, w_hi = shell[s]
+        if downward:
+            sidx = s  # far end = ground, segments bottom-up
+        else:
+            sidx = nseg - 1 - s  # far end = TOA
+        od_weights[ri, sidx, s] = w_lo
+        od_weights[ri, sidx, s + 1] = w_hi
+        lengths[ri, sidx] = length
+        mask[ri, sidx] = 1.0
+        seg_layer[ri, sidx] = (nseg - 1) - s
+        seg_entrance_frac[ri, sidx] = 1.0 if downward else 0.0
+        seg_exit_frac[ri, sidx] = 0.0 if downward else 1.0
+        # far-side entrance boundary of segment sidx
+        boundary(sidx, radii[s] if downward else radii[s + 1],
+                 s if downward else s + 1, downward)
+    # observer-side boundary
+    boundary(nseg, radii[-1] if downward else radii[0],
+             nseg if downward else 0, downward)
 
 
 def _trace_native(radii, earth_radius_m, rays) -> TracedRays | None:

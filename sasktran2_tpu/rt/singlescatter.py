@@ -76,10 +76,15 @@ def integrate_single_scatter(
     kscat = extinction * ssa  # [W, A]
     kscat_b = jnp.einsum("rba,wa->wrb", intw, kscat)
     # phase at boundaries: sum_l beta_l(boundary) P_l(cos Theta)
-    # beta interpolated onto boundaries as scattering-weighted mean
-    beta_b = jnp.einsum(
-        "rba,wal->wrbl", intw, leg_coeff * kscat[..., None]
-    ) / jnp.maximum(kscat_b[..., None], 1e-300)
+    # beta interpolated onto boundaries as scattering-weighted mean.
+    # Safe division: padded boundaries have all-zero weights -> 0/0; both
+    # value AND gradients must stay finite there (where on the denominator
+    # alone still produces NaN cotangents).
+    beta_num = jnp.einsum("rba,wal->wrbl", intw, leg_coeff * kscat[..., None])
+    denom = kscat_b[..., None]
+    beta_b = jnp.where(
+        denom > 0.0, beta_num / jnp.where(denom > 0.0, denom, 1.0), 0.0
+    )
     phase_b = jnp.einsum("wrbl,rbl->wrb", beta_b, pt)
 
     # J per unit length at boundaries (source toward the observer)
@@ -138,7 +143,6 @@ def emission_radiance(extinction, ssa, emission, albedo, surface_emission,
 
     seg_od = jnp.einsum("rsa,wa->wrs", odw, extinction)
     k_b = jnp.einsum("rba,wa->wrb", intw, extinction)
-    kabs_b = k_b * (1.0 - jnp.einsum("rba,wa->wrb", intw, ssa) / jnp.maximum(k_b, 1e-300) * k_b)
     kscat_b = jnp.einsum("rba,wa->wrb", intw, extinction * ssa)
     kabs_b = k_b - kscat_b
     b_b = jnp.einsum("rba,wa->wrb", intw, emission)
@@ -224,9 +228,13 @@ def integrate_single_scatter_2d(extinction, ssa, leg_coeff, traced2d,
     kscat = extinction * ssa
     kscat_b = jnp.einsum("wrbk,rbk->wrb", kscat[:, iidx], iw)
     k_b = jnp.einsum("wrbk,rbk->wrb", extinction[:, iidx], iw)
-    beta_b = jnp.einsum(
+    beta_num = jnp.einsum(
         "wrbkl,rbk->wrbl", (leg_coeff * kscat[..., None])[:, iidx], iw
-    ) / jnp.maximum(kscat_b[..., None], 1e-300)
+    )
+    denom = kscat_b[..., None]
+    beta_b = jnp.where(
+        denom > 0.0, beta_num / jnp.where(denom > 0.0, denom, 1.0), 0.0
+    )
     phase_b = jnp.einsum("wrbl,rbl->wrb", beta_b, pt)
 
     # source per unit length with the reference's endpoint-blended model

@@ -33,6 +33,7 @@ import numpy as np
 
 from ..ops.quadrature import gauss_legendre
 from ..ops.wigner import legendre_p
+from ..util.jaxmath import safe_div
 from .raytrace import TracedRays, _solar_at_point, _sun_od_weights
 
 
@@ -304,16 +305,14 @@ def successive_orders_field(
     t_sun = jnp.exp(-jnp.minimum(sun_od, 300.0))
     kscat = k_lev * ssa
     kscat_b = jnp.einsum("rba,wa->wrb", int_w, kscat)
-    beta_b = jnp.einsum("rba,wal->wrbl", int_w, leg_coeff * kscat[..., None]) / (
-        jnp.maximum(kscat_b[..., None], 1e-300)
+    beta_b = safe_div(
+        jnp.einsum("rba,wal->wrbl", int_w, leg_coeff * kscat[..., None]),
+        kscat_b[..., None],
     )
     phase_b = jnp.einsum("wrbl,rbl->wrb", beta_b, jnp.asarray(pt, dtype=dt))
     k_b = jnp.einsum("rba,wa->wrb", int_w, k_lev)
     # J per unit OD
-    j_ss_b = jnp.where(
-        k_b > 0, kscat_b * phase_b / (4.0 * jnp.pi) * t_sun / jnp.maximum(k_b, 1e-300),
-        0.0,
-    )
+    j_ss_b = safe_div(kscat_b * phase_b / (4.0 * jnp.pi) * t_sun, k_b)
     seg_src_ss = factor * 0.5 * (j_ss_b[..., :-1] + j_ss_b[..., 1:]) * mask
     i_first = jnp.sum(seg_src_ss * trans, axis=-1)  # [W, R]
     # ground reflection of direct beam at far end of ground-hitting rays

@@ -1,4 +1,19 @@
 from .model import SolarModel
-from .geometry import solar_angles_from_times
+from .geometry import (
+    SolarGeometryHandlerAstropy,
+    SolarGeometryHandlerBase,
+    SolarGeometryHandlerEphemeris,
+    SolarGeometryHandlerForced,
+    solar_angles_from_times,
+    to_mjd,
+)
 
-__all__ = ["SolarModel", "solar_angles_from_times"]
+__all__ = [
+    "SolarModel",
+    "SolarGeometryHandlerAstropy",
+    "SolarGeometryHandlerBase",
+    "SolarGeometryHandlerEphemeris",
+    "SolarGeometryHandlerForced",
+    "solar_angles_from_times",
+    "to_mjd",
+]

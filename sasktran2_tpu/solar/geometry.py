@@ -37,3 +37,54 @@ def solar_angles_from_times(mjd, latitude_deg, longitude_deg):
         np.sin(dec) * np.cos(lat) - np.cos(dec) * np.sin(lat) * np.cos(ha),
     )
     return cos_sza, az % (2 * np.pi)
+
+
+def to_mjd(time) -> float:
+    """Modified Julian date from a pandas Timestamp / datetime64 / float."""
+    if isinstance(time, (int, float)):
+        return float(time)
+    import pandas as pd
+
+    ts = pd.Timestamp(time)
+    return float((ts - pd.Timestamp("1858-11-17")) / pd.Timedelta(days=1))
+
+
+class SolarGeometryHandlerBase:
+    """Solar-angle lookup interface (reference
+    ``src/sasktran2/solar/__init__.py:12-44``): given (lat [deg N],
+    lon [deg E], alt [m], time), return (solar zenith, solar azimuth) in
+    degrees, azimuth clockwise from north pointing toward the sun."""
+
+    def target_solar_angles(self, latitude, longitude, altitude, time):
+        raise NotImplementedError
+
+
+class SolarGeometryHandlerForced(SolarGeometryHandlerBase):
+    """Fixed solar angles for all locations/times (reference ``:46-70``)."""
+
+    def __init__(self, solar_zenith: float, solar_azimuth: float):
+        self.solar_zenith = float(solar_zenith)
+        self.solar_azimuth = float(solar_azimuth)
+
+    def target_solar_angles(self, latitude, longitude, altitude, time):
+        return self.solar_zenith, self.solar_azimuth
+
+
+class SolarGeometryHandlerEphemeris(SolarGeometryHandlerBase):
+    """Analytic (Meeus) solar ephemeris — fills the role of the reference's
+    astropy-based ``SolarGeometryHandlerAstropy`` without an astropy
+    dependency (~0.01 deg accuracy)."""
+
+    def target_solar_angles(self, latitude, longitude, altitude, time):
+        cos_sza, az = solar_angles_from_times(
+            to_mjd(time), latitude, longitude
+        )
+        return (
+            float(np.rad2deg(np.arccos(np.clip(cos_sza, -1.0, 1.0))[0])),
+            float(np.rad2deg(az[0])),
+        )
+
+
+# API-parity alias: the reference exposes the astropy-backed handler under
+# this name; here it is the dependency-free ephemeris.
+SolarGeometryHandlerAstropy = SolarGeometryHandlerEphemeris

@@ -91,3 +91,22 @@ class FluxObserverSolar:
 
     cos_sza: float
     observer_altitude_m: float
+
+
+from .containers import (  # noqa: E402  (depends on the classes above)
+    LimbVertical,
+    ViewingGeometryContainer,
+    ecef_to_sasktran2_ray,
+)
+
+__all__ = [
+    "FluxObserverSolar",
+    "GroundViewingSolar",
+    "LimbVertical",
+    "SolarAnglesObserverLocation",
+    "TangentAltitude",
+    "TangentAltitudeSolar",
+    "ViewingGeometry",
+    "ViewingGeometryContainer",
+    "ecef_to_sasktran2_ray",
+]

@@ -141,3 +141,49 @@ def test_limb_sza_grid_consistent():
     # the SZA range across these rays is modest; fields agree to ~1%
     np.testing.assert_allclose(r2, r1, rtol=2e-2)
     assert np.all(np.isfinite(r2))
+
+
+def test_limb_pt_wf_finite_and_matches_fd():
+    """Regression: padded limb-ray boundaries used to produce NaN in the
+    backward pass of the boundary-phase safe division, wiping out every
+    pressure/temperature weighting function (autodiff-unsafe
+    ``maximum(x, 1e-300)`` guard)."""
+    import sasktran2_tpu as sk
+
+    alts = np.arange(0, 65001, 2500.0)
+    config = sk.Config(
+        num_streams=2,
+        single_scatter_source=sk.SingleScatterSource.Exact,
+        multiple_scatter_source=sk.MultipleScatterSource.NoSource,
+        num_singlescatter_moments=4,
+    )
+    geometry = sk.Geometry1D(
+        cos_sza=0.6, solar_azimuth=0.0, earth_radius_m=6372000.0,
+        altitude_grid_m=alts, geometry_type=sk.GeometryType.Spherical,
+    )
+    viewing = sk.ViewingGeometry()
+    viewing.add_ray(sk.TangentAltitudeSolar(
+        tangent_altitude_m=15000.0, relative_azimuth=0.3,
+        observer_altitude_m=200000.0, cos_sza=0.6,
+    ))
+
+    def run(dp):
+        atmo = sk.Atmosphere(
+            geometry, config, wavelengths_nm=np.array([450.0])
+        )
+        sk.climatology.us76.add_us76_standard_atmosphere(atmo)
+        atmo.pressure_pa[6] += dp
+        atmo["rayleigh"] = sk.constituent.Rayleigh()
+        return sk.Engine(config, geometry, viewing).calculate_radiance(atmo)
+
+    out = run(0.0)
+    wf_p = out["wf_rayleigh_pressure_pa"].to_numpy()
+    wf_t = out["wf_rayleigh_temperature_k"].to_numpy()
+    assert np.all(np.isfinite(wf_p))
+    assert np.all(np.isfinite(wf_t))
+    h = 50.0
+    fd = (
+        run(h)["radiance"].to_numpy()[0, 0, 0]
+        - run(-h)["radiance"].to_numpy()[0, 0, 0]
+    ) / (2 * h)
+    np.testing.assert_allclose(wf_p.squeeze()[6], fd, rtol=1e-4)
