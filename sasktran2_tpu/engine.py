@@ -396,7 +396,7 @@ class Engine:
             from .rt import successive
             from .rt.singlescatter import integrate_od_source
 
-            _, j_field = successive.successive_orders_field(
+            _, j_field, i_ground = successive.successive_orders_field(
                 ext, ssa, leg, alb, self._so_geom,
                 cfg.num_successive_orders_iterations,
             )
@@ -406,6 +406,14 @@ class Engine:
             rad = rad + f0 * integrate_od_source(
                 ext, j_in, j_out, self._traced
             )[0]
+            # end-of-ray diffuse ground reflection for ground-hitting
+            # observer rays (the direct-beam reflection is already in the
+            # exact single-scatter ground term)
+            ground_obs = jnp.asarray(
+                self._traced.ground_hit, dtype=ext.dtype
+            )
+            od_obs = singlescatter.optical_depth(ext, self._traced)[0]
+            rad = rad + f0 * ground_obs * i_ground[0] * jnp.exp(-od_obs)
 
         if self._needs_do:
             from .rt import do_source as do_source_mod
@@ -583,11 +591,21 @@ class Engine:
             f_act = two_pi * (ip + im) @ w + (
                 f0 * t_b if self._do_include_ss else 0.0 * t_b
             )
+            # flux divergence = absorbed power density d(F_dn - F_up)/dz =
+            # k_abs * F_actinic - 4 pi k_abs B (thermal).  NOTE: the
+            # reference declares FluxType::divergence (config.h:175) but no
+            # native code path computes it; this is the physically
+            # consistent definition (validated against dF_net/dz).
+            kabs_b = (ext * (1.0 - ssa))[..., ::-1][0]  # TOA-first levels
+            f_div = kabs_b * f_act
+            if emission_do:
+                f_div = f_div - 4.0 * jnp.pi * kabs_b * emis[..., ::-1][0]
             interp_j = jnp.asarray(interp, dtype=ext.dtype)
             per_type = {
                 FluxType.Upwelling: f_up,
                 FluxType.Downwelling: f_dn,
                 FluxType.Actinic: f_act,
+                FluxType.Divergence: f_div,
             }
             for ti, ftype in enumerate(cfg.flux_types):
                 if ftype not in per_type:

@@ -350,14 +350,29 @@ def successive_orders_field(
         seg_src = factor * 0.5 * (je[..., 0] + je[..., 1]) * mask
         return jnp.sum(seg_src * trans, axis=-1).reshape(-1, V, D)
 
+    # diffuse (Lambertian) ground reflection: downwelling diffuse flux at
+    # the bottom level reflects isotropically and is carried up every
+    # ground-hitting internal ray, attenuated by its total OD (reference
+    # DiffuseTable ground sphere, ``cpp/lib/hr/diffuse_table.cpp:521``)
+    f_dn_w = w_d * jnp.abs(mu_d) * (mu_d < 0.0)  # [D]
+    ground_t = (ground * jnp.exp(-total_od)).reshape(-1, V, D)  # [W, V, D]
+
+    def ground_diffuse(i_field):
+        f_dn = jnp.einsum("d,wd->w", f_dn_w, i_field[:, 0, :])
+        return (albedo * f_dn / jnp.pi)[:, None, None] * ground_t
+
     def step(i_field, _):
         j = scattering_source(i_field)
-        i_new = i_first + transport_simple(j)
+        i_new = i_first + transport_simple(j) + ground_diffuse(i_field)
         return i_new, None
 
     i_final, _ = jax.lax.scan(step, i_first, None, length=iterations)
     j_final = scattering_source(i_final)
-    return i_final, j_final
+    # diffuse ground-leaving radiance (for observer end-of-ray terms)
+    i_ground_diffuse = albedo * jnp.einsum(
+        "d,wd->w", f_dn_w, i_final[:, 0, :]
+    ) / jnp.pi
+    return i_final, j_final, i_ground_diffuse
 
 
 def observer_source_tables(traced: TracedRays, geom: SOGeometry):

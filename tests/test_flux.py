@@ -70,3 +70,44 @@ def test_flux_wf_albedo():
     below = engine.calculate_radiance(atmo)["upwelling_flux"].to_numpy()
     numeric = (above - below) / (2 * h)
     np.testing.assert_allclose(analytic, numeric, rtol=1e-5, atol=1e-12)
+
+
+def test_flux_divergence_energy_conservation():
+    """Divergence flux type: k_abs * F_actinic must equal d(F_dn - F_up)/dz
+    (energy conservation).  The reference declares FluxType.divergence but
+    has no native implementation; ours is defined as the absorbed power
+    density and validated against the net-flux derivative."""
+    config = sk.Config(
+        num_streams=8,
+        multiple_scatter_source=sk.MultipleScatterSource.DiscreteOrdinates,
+        single_scatter_source=sk.SingleScatterSource.DiscreteOrdinates,
+        num_singlescatter_moments=8,
+        flux_types=(
+            sk.FluxType.Upwelling,
+            sk.FluxType.Downwelling,
+            sk.FluxType.Actinic,
+            sk.FluxType.Divergence,
+        ),
+    )
+    geometry = sk.Geometry1D(
+        cos_sza=0.6, solar_azimuth=0.0, earth_radius_m=6372000.0,
+        altitude_grid_m=np.linspace(0, 60000, 61),
+        geometry_type=sk.GeometryType.PlaneParallel,
+    )
+    viewing = sk.ViewingGeometry()
+    viewing.add_ray(sk.GroundViewingSolar(0.6, 0.0, 0.8, 200000.0))
+    z0, dz = 20000.0, 1000.0
+    for alt in (z0 - dz, z0, z0 + dz):
+        viewing.add_flux_observer(sk.FluxObserverSolar(0.6, alt))
+    engine = sk.Engine(config, geometry, viewing)
+    atmo = default_pure_scattering_atmosphere(
+        config, geometry, ssa=0.7, albedo=0.3
+    )
+    out = engine.calculate_radiance(atmo)
+    f_up = out["upwelling_flux"].to_numpy()[0]
+    f_dn = out["downwelling_flux"].to_numpy()[0]
+    f_div = out["divergence_flux"].to_numpy()[0]
+    net = f_dn - f_up
+    dnet_dz = (net[2] - net[0]) / (2 * dz)
+    assert f_div[1] > 0
+    np.testing.assert_allclose(f_div[1], dnet_dz, rtol=2e-2)

@@ -74,3 +74,23 @@ def test_so_iterations_converge():
     # geometric convergence: successive differences shrink
     assert abs(r30 - r15) < abs(r15 - r5)
     np.testing.assert_allclose(r15, r30, rtol=1e-3)
+
+
+def test_so_vs_do_reflective_surface():
+    """Diffuse ground reflection in the SO iteration: with a bright surface
+    the SO and DO solutions must still agree (reference DiffuseTable ground
+    sphere, diffuse_table.cpp:521)."""
+    c_so, c_do, geometry, e_so, e_do = _engines()
+    a1 = default_pure_scattering_atmosphere(c_so, geometry, ssa=0.9,
+                                            albedo=0.8)
+    r_so = e_so.calculate_radiance(a1)["radiance"].to_numpy()[0, 0, 0]
+    a2 = default_pure_scattering_atmosphere(c_do, geometry, ssa=0.9,
+                                            albedo=0.8)
+    r_do = e_do.calculate_radiance(a2)["radiance"].to_numpy()[0, 0, 0]
+    np.testing.assert_allclose(r_so, r_do, rtol=5e-2)
+
+    # and the reflective-surface radiance must exceed the dark-surface one
+    a3 = default_pure_scattering_atmosphere(c_so, geometry, ssa=0.9,
+                                            albedo=0.0)
+    r_dark = e_so.calculate_radiance(a3)["radiance"].to_numpy()[0, 0, 0]
+    assert r_so > 1.5 * r_dark
