@@ -24,10 +24,17 @@ class NumberDensityScatterer(Constituent):
     ``legendre`` [L, W] (a1, beta_0 = 1 convention).
     """
 
-    def __init__(self, optical, altitudes_m, number_density):
+    def __init__(self, optical, altitudes_m, number_density,
+                 param_values=None):
         self.optical = optical
         self._altitudes = np.asarray(altitudes_m, dtype=np.float64)
         self.number_density = np.asarray(number_density, dtype=np.float64)
+        # optional per-altitude database parameters (e.g. particle size for
+        # a ScattererDatabase), given on the constituent altitude grid
+        self.param_values = {
+            k: np.asarray(v, dtype=np.float64)
+            for k, v in (param_values or {}).items()
+        }
 
     def _profile(self, atmo):
         interp = linear_interpolating_matrix(
@@ -35,27 +42,57 @@ class NumberDensityScatterer(Constituent):
         )
         return interp @ self.number_density, interp
 
+    def _props(self, atmo):
+        """Properties with a uniform [A, W] / [L, A, W] shape, whether the
+        optical property is altitude-independent ([W] / [L, W]) or a
+        parameterized database."""
+        alts = atmo.model_geometry.altitudes()
+        if self.param_values:
+            interp = linear_interpolating_matrix(
+                self._altitudes, alts, "extend"
+            )
+            kwargs = {k: interp @ v for k, v in self.param_values.items()}
+            props = self.optical.scattering_properties(
+                atmo.wavelengths_nm, altitudes_m=alts, **kwargs
+            )
+        else:
+            props = self.optical.scattering_properties(atmo.wavelengths_nm)
+        A = len(alts)
+        W = len(np.atleast_1d(atmo.wavelengths_nm))
+        out = {}
+        for k in ("xs_total", "ssa"):
+            v = np.asarray(props[k])
+            out[k] = (
+                np.broadcast_to(v[None, :], (A, W)).copy()
+                if v.ndim == 1 else v
+            )
+        leg = np.asarray(props["legendre"])
+        out["legendre"] = (
+            np.broadcast_to(leg[:, None, :], (leg.shape[0], A, W)).copy()
+            if leg.ndim == 2 else leg
+        )
+        return out
+
     def add_to_atmosphere(self, atmo):
-        props = self.optical.scattering_properties(atmo.wavelengths_nm)
+        props = self._props(atmo)
         nd, _ = self._profile(atmo)
-        k = nd[:, None] * props["xs_total"][None, :]  # [A, W]
-        kscat = k * props["ssa"][None, :]
+        k = nd[:, None] * props["xs_total"]  # [A, W]
+        kscat = k * props["ssa"]
         atmo.storage.total_extinction += k
         atmo.storage.ssa += kscat
         a1 = atmo.leg_coeff.a1
-        leg = props["legendre"]  # [L, W]
+        leg = props["legendre"]  # [L, A, W]
         L = min(leg.shape[0], a1.shape[0])
-        a1[:L] += kscat[None] * leg[:L, None, :]
+        a1[:L] += kscat[None] * leg[:L]
 
     def register_derivative(self, atmo, name: str):
-        props = self.optical.scattering_properties(atmo.wavelengths_nm)
+        props = self._props(atmo)
         nd, interp = self._profile(atmo)
         k_total = atmo.storage.total_extinction
         ssa = atmo.storage.ssa
         a1 = atmo.leg_coeff.a1
-        xs = props["xs_total"][None, :]
-        dk = np.broadcast_to(xs, k_total.shape)
-        dks = xs * props["ssa"][None, :]
+        dk = props["xs_total"]  # [A, W]
+        dks = dk * props["ssa"]
 
         m = atmo.storage.get_derivative_mapping(f"wf_{name}")
         m.d_extinction[:] = dk
@@ -64,13 +101,13 @@ class NumberDensityScatterer(Constituent):
                 k_total > 0, (dks - ssa * dk) / k_total, 0.0
             )
         kscat_tot = ssa * k_total
-        leg = props["legendre"]
+        leg = props["legendre"]  # [L, A, W]
         L = min(leg.shape[0], a1.shape[0])
         m.ensure_leg(L)
         with np.errstate(divide="ignore", invalid="ignore"):
             inv = np.where(kscat_tot > 0, 1.0 / kscat_tot, 0.0)
         for li in range(L):
-            m.d_leg_coeff[li] = dks * (leg[li][None, :] - a1[li]) * inv
+            m.d_leg_coeff[li] = dks * (leg[li] - a1[li]) * inv
         m.interpolator = interp.T
         m.interp_dim = f"{name}_altitude"
 

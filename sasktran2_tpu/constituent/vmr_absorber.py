@@ -70,3 +70,33 @@ class VMRAltitudeAbsorber(Constituent):
         # wf on constituent grid = interp^T applied to level WFs
         m.interpolator = interp.T  # [n_const, n_model] after transpose
         m.interp_dim = f"{name}_altitude"
+
+        # pressure/temperature weighting functions when the optical property
+        # is parameter-dependent (reference vmr_alt_absorber.rs propagates
+        # d xs/dT, d xs/dP from the database): d k / d T = vmr * (dN/dT * xs
+        # + N * d xs/dT), same for pressure.
+        if hasattr(self.optical_property, "cross_section_derivatives"):
+            dxs = self.optical_property.cross_section_derivatives(
+                atmo.wavelengths_nm,
+                altitudes_m=atmo.model_geometry.altitudes(),
+                pressure_pa=atmo.pressure_pa,
+                temperature_k=atmo.temperature_k,
+            )
+            dn = eos.air_numberdensity
+            dn_dparam = {
+                "temperature_k": dn["dN_dT"], "pressure_pa": dn["dN_dP"],
+            }
+            for pname, dxs_dp in dxs.items():
+                dkp = vmr_grid[:, None] * (
+                    dn_dparam.get(pname, 0.0 * nd)[:, None] * xs
+                    + nd[:, None] * dxs_dp
+                )
+                mp = atmo.storage.get_derivative_mapping(
+                    f"wf_{name}_{pname}"
+                )
+                mp.d_extinction[:] += dkp
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    mp.d_ssa[:] += np.where(
+                        k_total > 0, -ssa * dkp / k_total, 0.0
+                    )
+                mp.interp_dim = "altitude"

@@ -1,4 +1,10 @@
 from .base import OpticalProperty
+from .database import (
+    AbsorberDatabase,
+    OpticalDatabaseGenericAbsorber,
+    OpticalDatabaseGenericScatterer,
+    ScattererDatabase,
+)
 from .henyey import HenyeyGreenstein
 from .line_absorber import LineAbsorber, LineCatalogue, load_hitran_par
 from .lineshape import voigt_profile, wofz

@@ -16,6 +16,12 @@ def linear_interpolating_matrix(
     from_grid = np.asarray(from_grid, dtype=np.float64)
     to_grid = np.asarray(to_grid, dtype=np.float64)
     M = np.zeros((len(to_grid), len(from_grid)))
+    if len(from_grid) == 1:
+        if out_of_bounds_mode == "extend":
+            M[:, 0] = 1.0
+        else:
+            M[np.isclose(to_grid, from_grid[0]), 0] = 1.0
+        return M
     for i, x in enumerate(to_grid):
         if x < from_grid[0]:
             if out_of_bounds_mode == "extend":
