@@ -129,12 +129,22 @@ class Engine:
             self._phase_tab = singlescatter.phase_tables(self._traced, nleg)
 
         if config.num_stokes == 3:
-            if any(isinstance(r, TangentAltitudeSolar) for r in self._rays):
-                msg = "num_stokes=3 limb viewing is not wired yet"
+            has_limb = any(
+                isinstance(r, TangentAltitudeSolar) for r in self._rays
+            )
+            if has_limb and self._needs_do:
+                msg = (
+                    "num_stokes=3 limb multiple scatter is not wired yet "
+                    "(single scatter / occultation / emission limb works)"
+                )
                 raise NotImplementedError(msg)
             if self._flux_observers:
                 msg = "num_stokes=3 flux observers are not wired yet"
                 raise NotImplementedError(msg)
+            if self._needs_ss_exact and not self._is_2d:
+                self._d02_tab = singlescatter.phase_tables_d02(
+                    self._traced, nleg
+                )
 
         self._do_groups = []
         self._limb_groups = []
@@ -491,35 +501,52 @@ class Engine:
         """(I, Q, U) radiance [nlos, 3] for one wavelength. Multiple and
         single scatter both come from the polarized DO solve (the reference's
         Coulson validation configuration)."""
+        from .config import EmissionSource
         from .rt import disco_vec
 
         cfg = self._config
-        if self._needs_ss_exact:
-            msg = (
-                "Exact polarized single scatter is not wired yet; use "
-                "SingleScatterSource.DiscreteOrdinates with num_stokes=3"
-            )
-            raise NotImplementedError(msg)
         ext = core["extinction"][None, :]
         ssa = core["ssa"][None, :]
         alb = core["albedo"][None]
+        emis = core["emission"][None, :]
         f0 = core["solar_irradiance"]
-        legs = (
-            core["leg_coeff"][None], core["leg_a2"][None],
-            core["leg_a3"][None], core["leg_b1"][None],
-        )
-        dtau, omega, (a1, a2, a3, b1) = self._layer_optical(ext, ssa, legs)
-        chapman = self._chapman_factors(ext.dtype)
+        surf_em = core.get("surface_emission", jnp.zeros_like(alb[..., 0]))
         nlos = len(self._rays)
         rad = jnp.zeros((nlos, 3), dtype=ext.dtype)
-        for idx, tables, user_up, user_azi in self._do_groups:
-            r = disco_vec.solve_plane_parallel_vector(
-                dtau, omega, a1, a2, a3, b1, alb, tables, user_up, user_azi,
-                include_ss=self._do_include_ss,
-                chapman=chapman.get(tables.mu0),
-                f0=f0,
+
+        if self._needs_ss_exact:
+            rad = rad + f0 * singlescatter.integrate_single_scatter_polarized(
+                ext, ssa, core["leg_coeff"][None], core["leg_b1"][None],
+                alb, self._traced, self._phase_tab, self._d02_tab,
             )[0]
-            rad = rad.at[jnp.asarray(idx)].add(r)
+
+        if cfg.occultation_source == OccultationSource.Standard:
+            rad = rad.at[:, 0].add(
+                singlescatter.occultation_radiance(ext, self._traced)[0]
+            )
+        if cfg.emission_source == EmissionSource.Standard:
+            rad = rad.at[:, 0].add(
+                singlescatter.emission_radiance(
+                    ext, ssa, emis, alb, surf_em[None], self._traced
+                )[0]
+            )
+
+        if self._needs_do:
+            legs = (
+                core["leg_coeff"][None], core["leg_a2"][None],
+                core["leg_a3"][None], core["leg_b1"][None],
+            )
+            dtau, omega, (a1, a2, a3, b1) = self._layer_optical(ext, ssa, legs)
+            chapman = self._chapman_factors(ext.dtype)
+            for idx, tables, user_up, user_azi in self._do_groups:
+                r = disco_vec.solve_plane_parallel_vector(
+                    dtau, omega, a1, a2, a3, b1, alb, tables, user_up,
+                    user_azi,
+                    include_ss=self._do_include_ss,
+                    chapman=chapman.get(tables.mu0),
+                    f0=f0,
+                )[0]
+                rad = rad.at[jnp.asarray(idx)].add(r)
         return rad.ravel()
 
     def _flux_single_wavelength(self, core):

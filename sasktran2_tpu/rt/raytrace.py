@@ -70,6 +70,13 @@ class TracedRays:
     seg_entrance_frac: np.ndarray
     seg_exit_frac: np.ndarray
     boundary_relazi: np.ndarray
+    # Stokes rotation (scattering plane -> ray meridian plane) at
+    # boundaries, for polarized single scatter: cos(2 sigma), sin(2 sigma).
+    # The meridian plane contains the ray-frame vertical (up at the
+    # reference point) and the propagation direction; for straight rays the
+    # rotation is constant along the ray.
+    cos2rot: np.ndarray | None = None
+    sin2rot: np.ndarray | None = None
 
 
 def _exact_shell_weights(l0, l1, rt, r_lo, r_hi):
@@ -251,11 +258,14 @@ def trace_spherical(
     seg_entrance_frac = np.zeros((R, S))
     seg_exit_frac = np.zeros((R, S))
     boundary_relazi = np.zeros((R, S + 1))
+    cos2rot = np.ones((R, S + 1))
+    sin2rot = np.zeros((R, S + 1))
 
     out_arrays = (
         od_weights, sun_weights, interp_weights, lengths, mask,
         cos_scatter, cos_zenith, cos_sza_b,
         seg_layer, seg_entrance_frac, seg_exit_frac, boundary_relazi,
+        cos2rot, sin2rot,
     )
 
     for ri, ray in enumerate(rays):
@@ -314,7 +324,37 @@ def trace_spherical(
         seg_entrance_frac=seg_entrance_frac,
         seg_exit_frac=seg_exit_frac,
         boundary_relazi=boundary_relazi,
+        cos2rot=cos2rot,
+        sin2rot=sin2rot,
     )
+
+
+def _stokes_rotation(d_hat, sun_vec):
+    """(cos 2s, sin 2s) rotating Stokes (Q, U) from the scattering plane
+    (containing the incident solar propagation and ``d_hat``) to the ray
+    meridian plane (containing the frame z axis and ``d_hat``).
+
+    The reference applies the equivalent rotation via its scattering-matrix
+    rotation helpers (``/root/reference/cpp/include/sasktran2/math/
+    scattering.h``); here it is two plane normals and a signed angle.
+    Degenerate geometries (forward/backward scattering, vertical rays)
+    return the identity — ``b1`` vanishes at those scattering angles.
+    """
+    u = -np.asarray(sun_vec)  # incident propagation direction
+    n1 = np.cross(u, d_hat)
+    n2 = np.cross(np.array([0.0, 0.0, 1.0]), d_hat)
+    s1 = np.linalg.norm(n1)
+    s2 = np.linalg.norm(n2)
+    if s1 < 1e-10 or s2 < 1e-10:
+        return 1.0, 0.0
+    n1 = n1 / s1
+    n2 = n2 / s2
+    c = float(np.dot(n1, n2))
+    s = float(np.dot(np.cross(n1, n2), d_hat))
+    # The sign pins the U convention to the polarized DO solver's azimuth
+    # synthesis (U ~ sin m(pi - azi), disco_vec.py), which is itself pinned
+    # by the Coulson-table validation.
+    return c * c - s * s, -2.0 * s * c
 
 
 def _solar_frame(mu0_ref, relazi_ref, coszen_ref):
@@ -371,6 +411,7 @@ def _trace_limb(
     od_weights, sun_weights, interp_weights, lengths, mask,
     cos_scatter, cos_zenith, cos_sza_b,
     seg_layer, seg_entrance_frac, seg_exit_frac, boundary_relazi,
+    cos2rot, sin2rot,
     sun_od_fn=None,
 ):
     """Limb ray: enters at TOA, descends to tangent point, ascends to TOA.
@@ -381,6 +422,10 @@ def _trace_limb(
     """
     A = len(radii)
     sun_vec = _solar_frame(cos_sza0, relazi, 0.0)
+    # straight ray: the Stokes rotation is constant along the ray
+    cos2rot[ri, :], sin2rot[ri, :] = _stokes_rotation(
+        np.array([1.0, 0.0, 0.0]), sun_vec
+    )
     # shells crossed: those with radius > rt
     jt = np.searchsorted(radii, rt)  # first level index above tangent
     # descending branch: shells A-1 -> jt ; ascending: jt -> A-1
@@ -466,6 +511,7 @@ def _trace_nadir(
     od_weights, sun_weights, interp_weights, lengths, mask,
     cos_scatter, cos_zenith, cos_sza_b,
     seg_layer, seg_entrance_frac, seg_exit_frac, boundary_relazi,
+    cos2rot, sin2rot,
     sun_od_fn=None,
 ):
     """Ground-viewing (downward) or upward-looking ray through all shells.
@@ -485,6 +531,9 @@ def _trace_nadir(
     rt = r_ref * sin_v  # tangent radius of the extended line (below surface)
     coszen_ref = mu_abs if downward else -mu_abs
     sun_vec = _solar_frame(cos_sza, relazi, coszen_ref)
+    cos2rot[ri, :], sin2rot[ri, :] = _stokes_rotation(
+        np.array([sin_v, 0.0, coszen_ref]), sun_vec
+    )
     l_ref = np.sqrt(max(r_ref**2 - rt**2, 0.0))
 
     def boundary_solar(r):
@@ -551,7 +600,7 @@ def _trace_nadir(
 def _curved_boundary(
     ri, b, r, phi, cos_prop, radii, sun_vec,
     sun_weights, interp_weights, cos_scatter, cos_zenith, cos_sza_b,
-    boundary_relazi, sun_od_fn,
+    boundary_relazi, sun_od_fn, cos2rot=None, sin2rot=None,
 ):
     """Boundary solar geometry for a refracted ray, evaluated in the ray
     plane: z = local up at the reference point, x = horizontal propagation
@@ -580,6 +629,8 @@ def _curved_boundary(
     interp_weights[ri, b] = _interp_weights_at_radius(r, radii)
     sun_weights[ri, b] = sun_od_fn(r, cs)
     boundary_relazi[ri, b] = relazi_loc
+    if cos2rot is not None:
+        cos2rot[ri, b], sin2rot[ri, b] = _stokes_rotation(d_hat, sun_vec)
     return cs, cz, relazi_loc
 
 
@@ -588,6 +639,7 @@ def _trace_limb_curved(
     od_weights, sun_weights, interp_weights, lengths, mask,
     cos_scatter, cos_zenith, cos_sza_b,
     seg_layer, seg_entrance_frac, seg_exit_frac, boundary_relazi,
+    cos2rot, sin2rot,
 ):
     """Limb ray traced along the refracted (Bouguer) path.
 
@@ -656,7 +708,7 @@ def _trace_limb_curved(
         geo = _curved_boundary(
             ri, s_out, r_b, phi, cos_prop, radii, sun_vec,
             sun_weights, interp_weights, cos_scatter, cos_zenith, cos_sza_b,
-            boundary_relazi, sun_od_fn,
+            boundary_relazi, sun_od_fn, cos2rot, sin2rot,
         )
         if hits_ground and s == 0:
             ground_geo = (geo[0], abs(cos_prop), geo[2])
@@ -681,7 +733,7 @@ def _trace_limb_curved(
     _curved_boundary(
         ri, s_out, r_b, phi, cos_prop, radii, sun_vec,
         sun_weights, interp_weights, cos_scatter, cos_zenith, cos_sza_b,
-        boundary_relazi, sun_od_fn,
+        boundary_relazi, sun_od_fn, cos2rot, sin2rot,
     )
     return ground_geo
 
@@ -691,6 +743,7 @@ def _trace_nadir_curved(
     od_weights, sun_weights, interp_weights, lengths, mask,
     cos_scatter, cos_zenith, cos_sza_b,
     seg_layer, seg_entrance_frac, seg_exit_frac, boundary_relazi,
+    cos2rot, sin2rot,
     sun_od_fn=None, integ=None,
 ):
     """Refracted ground-viewing / upward-looking ray (angles defined at the
@@ -725,7 +778,7 @@ def _trace_nadir_curved(
         _curved_boundary(
             ri, b_out, r, phi, cos_prop, radii, sun_vec,
             sun_weights, interp_weights, cos_scatter, cos_zenith, cos_sza_b,
-            boundary_relazi, sun_od_fn,
+            boundary_relazi, sun_od_fn, cos2rot, sin2rot,
         )
 
     for s in range(nseg):
@@ -784,6 +837,21 @@ def _trace_native(radii, earth_radius_m, rays) -> TracedRays | None:
     out = native_trace(radii, earth_radius_m, kinds, params)
     if out is None:
         return None
+    # straight rays: per-ray constant Stokes rotation from the ray spec
+    nb = out["cos_scatter"].shape[1]
+    cos2rot = np.ones((len(rays), nb))
+    sin2rot = np.zeros((len(rays), nb))
+    for ri, (kind, p) in enumerate(zip(kinds, params)):
+        if kind == 0:
+            d_hat = np.array([1.0, 0.0, 0.0])
+            sun_vec = _solar_frame(p[1], p[2], 0.0)
+        else:
+            mu_abs = p[0]
+            coszen_ref = mu_abs if kind == 1 else -mu_abs
+            sin_v = np.sqrt(max(1.0 - mu_abs * mu_abs, 0.0))
+            d_hat = np.array([sin_v, 0.0, coszen_ref])
+            sun_vec = _solar_frame(p[1], p[2], coszen_ref)
+        cos2rot[ri, :], sin2rot[ri, :] = _stokes_rotation(d_hat, sun_vec)
     return TracedRays(
         od_weights=out["od_weights"],
         sun_weights=out["sun_weights"],
@@ -802,4 +870,6 @@ def _trace_native(radii, earth_radius_m, rays) -> TracedRays | None:
         seg_entrance_frac=out["seg_entrance_frac"],
         seg_exit_frac=out["seg_exit_frac"],
         boundary_relazi=out["boundary_relazi"],
+        cos2rot=cos2rot,
+        sin2rot=sin2rot,
     )

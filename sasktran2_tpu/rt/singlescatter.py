@@ -34,6 +34,19 @@ def phase_tables(traced: TracedRays, nlegendre: int) -> np.ndarray:
     )
 
 
+def phase_tables_d02(traced: TracedRays, nlegendre: int) -> np.ndarray:
+    """d^l_{02}(Theta) at every segment boundary: [R, S+1, L] (static).
+
+    Contracted with the b1 greek coefficients this gives the I->Q element of
+    the scattering matrix (the reference's generalized-spherical phase
+    expansion, ``cpp/lib/solar/singlescattersource.cpp`` NSTOKES=3 path).
+    """
+    from ..ops.wigner import wigner_d
+
+    theta = np.arccos(np.clip(traced.cos_scatter, -1.0, 1.0))
+    return np.moveaxis(wigner_d(theta, 0, 2, nlegendre), 0, -1)
+
+
 def integrate_single_scatter(
     extinction,
     ssa,
@@ -124,6 +137,86 @@ def integrate_single_scatter(
         ground * albedo[..., None] * mu0_g * t_sun_ground / jnp.pi
     ) * jnp.exp(-total_od)
     return radiance + ground_term
+
+
+def integrate_single_scatter_polarized(
+    extinction,
+    ssa,
+    leg_a1,
+    leg_b1,
+    albedo,
+    traced: TracedRays,
+    phase_tab,
+    d02_tab,
+):
+    """Polarized (I, Q, U) exact single scatter for every ray.
+
+    The sun is unpolarized, so only the first column of the scattering
+    matrix enters: in the scattering plane the scattered Stokes vector is
+    (a1(Theta), -sum_l b1_l d^l_{02}(Theta), 0); it is then rotated into the
+    ray meridian basis with the traced (cos 2s, sin 2s) tables (reference
+    NSTOKES=3 single scatter, ``cpp/lib/solar/singlescattersource.cpp`` +
+    ``math/scattering.h`` rotations). Attenuation is scalar; the Lambertian
+    ground term is unpolarized.
+
+    leg_a1/leg_b1: [W, A, L]; returns radiance [W, R, 3].
+    """
+    odw = jnp.asarray(traced.od_weights, dtype=extinction.dtype)
+    sunw = jnp.asarray(traced.sun_weights, dtype=extinction.dtype)
+    intw = jnp.asarray(traced.interp_weights, dtype=extinction.dtype)
+    lengths = jnp.asarray(traced.lengths, dtype=extinction.dtype)
+    mask = jnp.asarray(traced.mask, dtype=extinction.dtype)
+    pt = jnp.asarray(phase_tab, dtype=extinction.dtype)
+    d02 = jnp.asarray(d02_tab, dtype=extinction.dtype)
+    c2 = jnp.asarray(traced.cos2rot, dtype=extinction.dtype)
+    s2 = jnp.asarray(traced.sin2rot, dtype=extinction.dtype)
+
+    seg_od = jnp.einsum("rsa,wa->wrs", odw, extinction)
+    sun_od = jnp.einsum("rba,wa->wrb", sunw, extinction)
+    t_sun = jnp.exp(-jnp.minimum(sun_od, 300.0))
+
+    kscat = extinction * ssa
+    kscat_b = jnp.einsum("rba,wa->wrb", intw, kscat)
+    denom = kscat_b[..., None]
+
+    def beta_boundary(lc):
+        num = jnp.einsum("rba,wal->wrbl", intw, lc * kscat[..., None])
+        return jnp.where(
+            denom > 0.0, num / jnp.where(denom > 0.0, denom, 1.0), 0.0
+        )
+
+    phase_i = jnp.einsum("wrbl,rbl->wrb", beta_boundary(leg_a1), pt)
+    # I -> Q scattering-plane element: F21(Theta) = -sum_l b1_l d^l_{02}
+    f21 = -jnp.einsum("wrbl,rbl->wrb", beta_boundary(leg_b1), d02)
+
+    base = kscat_b / (4.0 * jnp.pi) * t_sun
+    j_b = jnp.stack(
+        [base * phase_i, base * f21 * c2, base * f21 * s2], axis=-1
+    )  # [W, R, S+1, 3]
+
+    j_in = j_b[..., :-1, :]
+    j_out = j_b[..., 1:, :]
+    od = jnp.maximum(seg_od, 0.0)
+    source_factor = jnp.where(
+        od < 1e-12, 1.0 - 0.5 * od, -jnp.expm1(-od) / jnp.maximum(od, 1e-12)
+    )
+    blend = (source_factor * lengths * mask)[..., None]
+    seg_src = blend * 0.5 * (j_in + j_out)
+
+    od_m = seg_od * mask
+    closer = jnp.flip(jnp.cumsum(jnp.flip(od_m, axis=-1), axis=-1), axis=-1) - od_m
+    radiance = jnp.sum(seg_src * jnp.exp(-closer)[..., None], axis=-2)
+
+    ground = jnp.asarray(traced.ground_hit, dtype=extinction.dtype)
+    mu0_g = jnp.asarray(
+        np.maximum(traced.ground_cos_sza, 0.0), dtype=extinction.dtype
+    )
+    t_sun_ground = t_sun[..., 0]
+    total_od = jnp.sum(od_m, axis=-1)
+    ground_term = (
+        ground * albedo[..., None] * mu0_g * t_sun_ground / jnp.pi
+    ) * jnp.exp(-total_od)
+    return radiance.at[..., 0].add(ground_term)
 
 
 def emission_radiance(extinction, ssa, emission, albedo, surface_emission,
