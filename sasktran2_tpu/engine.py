@@ -129,18 +129,6 @@ class Engine:
             self._phase_tab = singlescatter.phase_tables(self._traced, nleg)
 
         if config.num_stokes == 3:
-            has_limb = any(
-                isinstance(r, TangentAltitudeSolar) for r in self._rays
-            )
-            if has_limb and self._needs_do:
-                msg = (
-                    "num_stokes=3 limb multiple scatter is not wired yet "
-                    "(single scatter / occultation / emission limb works)"
-                )
-                raise NotImplementedError(msg)
-            if self._flux_observers:
-                msg = "num_stokes=3 flux observers are not wired yet"
-                raise NotImplementedError(msg)
             if self._needs_ss_exact and not self._is_2d:
                 self._d02_tab = singlescatter.phase_tables_d02(
                     self._traced, nleg
@@ -252,10 +240,18 @@ class Engine:
                 np.array([e[1] for e in obs]),
                 "extend",
             )[:, ::-1]  # [nobs, P+1] in TOA-first boundary order
-            tables = disco.build_mode_tables(
-                self._do_nstr, self._do_nstr, mu0, np.array([0.5]),
-                num_azimuth=1,
-            )
+            if self._config.num_stokes == 3:
+                from .rt import disco_vec
+
+                tables = disco_vec.build_vector_mode_tables(
+                    self._do_nstr, self._do_nstr, mu0, np.array([0.5]),
+                    num_azimuth=1,
+                )
+            else:
+                tables = disco.build_mode_tables(
+                    self._do_nstr, self._do_nstr, mu0, np.array([0.5]),
+                    num_azimuth=1,
+                )
             self._flux_groups.append((idx, tables, interp))
 
         # Limb rays: DO solve per SZA + analytic source evaluation along
@@ -269,18 +265,36 @@ class Engine:
         if limb_groups:
             from .rt import do_source
 
-            self._ray_ms_tables = do_source.build_ray_angular_tables(
-                self._traced, nleg_ms, num_azi
-            )
+            polarized = self._config.num_stokes == 3
+
+            def limb_tables(mu0):
+                if polarized:
+                    from .rt import disco_vec
+
+                    return disco_vec.build_vector_mode_tables(
+                        self._do_nstr, nleg_ms, mu0, np.array([0.5]),
+                        num_azimuth=num_azi,
+                    )
+                return disco.build_mode_tables(
+                    self._do_nstr, nleg_ms, mu0, np.array([0.5]),
+                    num_azimuth=num_azi,
+                )
+
+            if polarized:
+                self._ray_ms_tables = do_source.build_ray_vector_tables(
+                    self._traced, nleg_ms, num_azi
+                )
+            else:
+                self._ray_ms_tables = do_source.build_ray_angular_tables(
+                    self._traced, nleg_ms, num_azi
+                )
             n_sza = max(1, self._config.num_do_sza)
             all_idx = np.concatenate([np.array(v) for v in limb_groups.values()])
             if n_sza == 1:
                 for mu0, idx in limb_groups.items():
-                    tables = disco.build_mode_tables(
-                        self._do_nstr, nleg_ms, mu0, np.array([0.5]),
-                        num_azimuth=num_azi,
+                    self._limb_groups.append(
+                        (np.array(idx), [limb_tables(mu0)])
                     )
-                    self._limb_groups.append((np.array(idx), [tables]))
             else:
                 cs = self._traced.cos_sza[all_idx]
                 seg_mask = self._traced.mask[all_idx]
@@ -293,13 +307,7 @@ class Engine:
                 if hi - lo < 1e-6:
                     hi = lo + 1e-6
                 sza_grid = np.linspace(lo, hi, n_sza)
-                tables_list = [
-                    disco.build_mode_tables(
-                        self._do_nstr, nleg_ms, float(m0), np.array([0.5]),
-                        num_azimuth=num_azi,
-                    )
-                    for m0 in sza_grid
-                ]
+                tables_list = [limb_tables(float(m0)) for m0 in sza_grid]
                 # per-boundary linear interpolation weights on the sza grid
                 from .util.interpolation import linear_interpolating_matrix
 
@@ -547,6 +555,52 @@ class Engine:
                     f0=f0,
                 )[0]
                 rad = rad.at[jnp.asarray(idx)].add(r)
+
+            if self._limb_groups:
+                from .rt import do_source as do_source_mod
+                from .rt.singlescatter import integrate_od_source
+
+                for idx, tables_list in self._limb_groups:
+                    j_in_list, j_out_list = [], []
+                    for tables in tables_list:
+                        _, internal = disco_vec.solve_plane_parallel_vector(
+                            dtau, omega, a1, a2, a3, b1, alb, tables,
+                            np.array([True]), np.array([0.0]),
+                            include_ss=self._do_include_ss,
+                            chapman=chapman.get(tables.mu0),
+                            return_internal=True,
+                            f0=f0,
+                        )
+                        ji, jo = do_source_mod.ms_source_along_rays_vec(
+                            internal, self._traced, self._ray_ms_tables,
+                            include_ss=self._do_include_ss,
+                        )
+                        j_in_list.append(ji)
+                        j_out_list.append(jo)
+                    if len(tables_list) == 1:
+                        j_in, j_out = j_in_list[0], j_out_list[0]
+                    else:
+                        wts = jnp.asarray(
+                            self._limb_sza_weights, dtype=ext.dtype
+                        )  # [R, S+1, n_sza]
+                        ji_stack = jnp.stack(j_in_list, axis=-1)  # [W,R,S,3,n]
+                        jo_stack = jnp.stack(j_out_list, axis=-1)
+                        S = ji_stack.shape[-3]
+                        j_in = jnp.einsum(
+                            "wrscn,rsn->wrsc", ji_stack, wts[:, :S]
+                        )
+                        j_out = jnp.einsum(
+                            "wrscn,rsn->wrsc", jo_stack, wts[:, 1 : S + 1]
+                        )
+                    ms_rad = jax.vmap(
+                        lambda ji, jo: integrate_od_source(
+                            ext, ji, jo, self._traced
+                        ),
+                        in_axes=-1, out_axes=-1,
+                    )(j_in, j_out)[0]  # [R, 3]
+                    rad = rad.at[jnp.asarray(idx)].add(
+                        ms_rad[jnp.asarray(idx)]
+                    )
         return rad.ravel()
 
     def _flux_single_wavelength(self, core):
@@ -567,9 +621,21 @@ class Engine:
         emission_do = cfg.emission_source in (
             EmissionSource.DiscreteOrdinates, EmissionSource.TwoStream,
         )
-        dtau, omega, beta = self._layer_optical(ext, ssa, leg)
+        polarized = cfg.num_stokes == 3
+        if polarized:
+            from .rt import disco_vec
+
+            legs = (
+                core["leg_coeff"][None], core["leg_a2"][None],
+                core["leg_a3"][None], core["leg_b1"][None],
+            )
+            dtau, omega, (a1, a2, a3, b1) = self._layer_optical(
+                ext, ssa, legs
+            )
+        else:
+            dtau, omega, beta = self._layer_optical(ext, ssa, leg)
         thermal_kw = {}
-        if emission_do:
+        if emission_do and not polarized:
             thermal_kw = {
                 "thermal_b0": emis[..., 1:][..., ::-1],
                 "thermal_b1_bottom": emis[..., :-1][..., ::-1],
@@ -583,17 +649,35 @@ class Engine:
         two_pi = 2.0 * jnp.pi
         mu = None
         for idx, tables, interp in self._flux_groups:
-            _, internal = disco.solve_plane_parallel(
-                dtau, omega, beta, alb, tables,
-                np.array([True]), np.array([0.0]),
-                include_ss=self._do_include_ss,
-                chapman=chapman.get(tables.mu0),
-                return_internal=True,
-                f0=f0,
-                num_azimuth=1,
-                **thermal_kw,
-            )
-            lv = internal["levels"]
+            if polarized:
+                # the reference's flux sums only the I components of the
+                # stream fields (``do_source_planeparallel.cpp`` h_lidx =
+                # l * NSTOKES), so polarized fluxes reuse the scalar
+                # formulas on the vector solve's I slices
+                _, internal = disco_vec.solve_plane_parallel_vector(
+                    dtau, omega, a1, a2, a3, b1, alb, tables,
+                    np.array([True]), np.array([0.0]),
+                    include_ss=self._do_include_ss,
+                    chapman=chapman.get(tables.mu0),
+                    return_internal=True,
+                    f0=f0,
+                    num_azimuth=1,
+                )
+                lv = {
+                    k: v[..., 0::3] for k, v in internal["levels"].items()
+                }
+            else:
+                _, internal = disco.solve_plane_parallel(
+                    dtau, omega, beta, alb, tables,
+                    np.array([True]), np.array([0.0]),
+                    include_ss=self._do_include_ss,
+                    chapman=chapman.get(tables.mu0),
+                    return_internal=True,
+                    f0=f0,
+                    num_azimuth=1,
+                    **thermal_kw,
+                )
+                lv = internal["levels"]
             w = internal["w_quad"]
             muq = jnp.asarray(tables.mu, dtype=ext.dtype)
             # boundary fields TOA-first: tops of each layer + ground
@@ -625,7 +709,7 @@ class Engine:
             # consistent definition (validated against dF_net/dz).
             kabs_b = (ext * (1.0 - ssa))[..., ::-1][0]  # TOA-first levels
             f_div = kabs_b * f_act
-            if emission_do:
+            if emission_do and not polarized:
                 f_div = f_div - 4.0 * jnp.pi * kabs_b * emis[..., ::-1][0]
             interp_j = jnp.asarray(interp, dtype=ext.dtype)
             per_type = {

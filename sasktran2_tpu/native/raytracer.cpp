@@ -119,15 +119,23 @@ SolarPoint solar_at_point(double s_dist, double r_ref, double coszen_ref,
     double cs = sun_vec[0] * r_hat[0] + sun_vec[1] * r_hat[1] +
                 sun_vec[2] * r_hat[2];
     double cz = p_hat[0] * r_hat[0] + p_hat[2] * r_hat[2];
-    double cos_theta = -(p_hat[0] * sun_vec[0] + p_hat[2] * sun_vec[2]);
     double szl = std::sqrt(std::max(1.0 - cz * cz, 0.0));
     double ssl = std::sqrt(std::max(1.0 - cs * cs, 0.0));
-    double denom = szl * ssl;
     double relazi = 0.0;
-    if (denom >= 1e-12) {
-        double arg = -(cos_theta + cz * cs) / denom;
-        arg = std::max(-1.0, std::min(1.0, arg));
-        relazi = std::acos(arg);
+    if (szl * ssl >= 1e-12) {
+        // signed relative azimuth (matches the python tracer): atan2 of the
+        // sun along (h_hat, r_hat x h_hat); sign only matters for Stokes U
+        double h_hat[3] = {(p_hat[0] - cz * r_hat[0]) / szl,
+                           (-cz * r_hat[1]) / szl,
+                           (p_hat[2] - cz * r_hat[2]) / szl};
+        double y_hat[3] = {r_hat[1] * h_hat[2] - r_hat[2] * h_hat[1],
+                           r_hat[2] * h_hat[0] - r_hat[0] * h_hat[2],
+                           r_hat[0] * h_hat[1] - r_hat[1] * h_hat[0]};
+        double sy = sun_vec[0] * y_hat[0] + sun_vec[1] * y_hat[1] +
+                    sun_vec[2] * y_hat[2];
+        double sh = sun_vec[0] * h_hat[0] + sun_vec[1] * h_hat[1] +
+                    sun_vec[2] * h_hat[2];
+        relazi = std::atan2(sy, sh);
     }
     return {cs, cz, relazi};
 }

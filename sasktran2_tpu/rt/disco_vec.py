@@ -210,10 +210,13 @@ def solve_plane_parallel_vector(
     chapman=None,
     num_azimuth: int | None = None,
     f0=None,
+    return_internal: bool = False,
 ):
     """Polarized DO solve. Greek coefficient arrays a1/a2/a3/b1: [..., P, L].
 
-    Returns radiance [..., U, 3] (I, Q, U) sun-normalized.
+    Returns radiance [..., U, 3] (I, Q, U) sun-normalized; with
+    ``return_internal`` also a dict of per-mode level stream fields and the
+    layer quantities needed to evaluate the vector source along rays.
     """
     mu0 = tables.mu0
     P = dtau.shape[-1]
@@ -260,7 +263,7 @@ def solve_plane_parallel_vector(
             albedo, mu, w, mu0, user_mu, user_up_j, include_ss, f0,
         )
 
-    rad_modes = jax.vmap(run_mode, in_axes=(0, 0, 0, 0, 0))(
+    rad_modes, levels = jax.vmap(run_mode, in_axes=(0, 0, 0, 0, 0))(
         m_indices, pi, d0_sun, pi_user, parity
     )  # [M, ..., U, 3]
 
@@ -270,6 +273,23 @@ def solve_plane_parallel_vector(
     sinm = jnp.sin(m_indices[:, None] * dphi[None, :])
     weights = jnp.stack([cosm, cosm, sinm], axis=-1)  # [M, U, 3]
     radiance = jnp.einsum("m...us,mus->...us", rad_modes, weights)
+    if return_internal:
+        internal = {
+            "levels": levels,        # [M, ..., P, K] transformed fields
+            "omega": omega_c,
+            "bgreek": bgreek,
+            "dtau": dtau,
+            "t_top": t_top,
+            "sbar": sbar,
+            "t_ground": t_ground,
+            "d0_sun": d0_sun,        # [M, L]
+            "parity": parity,        # [M, L]
+            "pi_stream": pi,         # [M, L, N, 3, 3]
+            "w_quad": w,
+            "mu0": mu0,
+            "f0": f0,
+        }
+        return radiance, internal
     return radiance
 
 
@@ -321,7 +341,36 @@ def _solve_one_mode_vec(
         pi, pi_user, d0_sun, parity, mu, w, m_idx,
         user_mu, user_up, albedo, ground_sun, include_ss, phi_mb,
     )
-    return rad
+
+    # Level diffuse fields (transformed frame, flattened K) at layer
+    # tops/bottoms — for the limb ray-source evaluation and fluxes (same
+    # structure as the scalar solver's level fields).
+    e = jnp.exp(-k * dtau[..., None])
+    xe = x * e[..., None, :]
+    ye = y * e[..., None, :]
+    levels = {
+        "i_plus_top": (
+            jnp.einsum("...pia,...pa->...pi", x, coeff_l)
+            + jnp.einsum("...pia,...pa->...pi", ye, coeff_m)
+            + jnp.einsum("...pia,...pa->...pi", y, phi_pt)
+        ),
+        "i_minus_top": (
+            jnp.einsum("...pia,...pa->...pi", y, coeff_l)
+            + jnp.einsum("...pia,...pa->...pi", xe, coeff_m)
+            + jnp.einsum("...pia,...pa->...pi", x, phi_pt)
+        ),
+        "i_plus_bot": (
+            jnp.einsum("...pia,...pa->...pi", xe, coeff_l)
+            + jnp.einsum("...pia,...pa->...pi", y, coeff_m)
+            + jnp.einsum("...pia,...pa->...pi", x, phi_mb)
+        ),
+        "i_minus_bot": (
+            jnp.einsum("...pia,...pa->...pi", ye, coeff_l)
+            + jnp.einsum("...pia,...pa->...pi", x, coeff_m)
+            + jnp.einsum("...pia,...pa->...pi", y, phi_mb)
+        ),
+    }
+    return rad, levels
 
 
 def _postprocess_mode_vec(

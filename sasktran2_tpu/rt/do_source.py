@@ -22,6 +22,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops.wigner import normalized_alp
+from .disco_vec import DSIGN, NS
 from .raytrace import TracedRays
 
 
@@ -35,6 +36,157 @@ def build_ray_angular_tables(traced: TracedRays, nleg: int, num_azimuth: int):
         lam_b[m] = normalized_alp(mu_signed, m, nleg)
         cosm[m] = np.cos(m * (np.pi - traced.boundary_relazi))
     return {"lam_b": lam_b, "cosm": cosm}
+
+
+def build_ray_vector_tables(traced: TracedRays, nleg: int, num_azimuth: int):
+    """Static angular tables for the polarized ray source: the three
+    independent generalized-spherical-function entries of Pi_l^m at each
+    boundary's *signed* propagation cosine, plus the per-boundary azimuth
+    weights (cos for I/Q, sin for U — the U sign needs the signed relative
+    azimuth traced per boundary)."""
+    from ..ops.wigner import wigner_d
+
+    mu_signed = traced.cos_zenith  # [R, S+1]
+    theta = np.arccos(np.clip(mu_signed, -1.0, 1.0))
+    d0 = np.zeros((num_azimuth, nleg) + mu_signed.shape)
+    pp = np.zeros_like(d0)
+    pm = np.zeros_like(d0)
+    cosm = np.zeros((num_azimuth,) + mu_signed.shape)
+    sinm = np.zeros_like(cosm)
+    dphi = np.pi - traced.boundary_relazi
+    for m in range(num_azimuth):
+        d0[m] = wigner_d(theta, m, 0, nleg)
+        d2p = wigner_d(theta, m, 2, nleg)
+        d2m = wigner_d(theta, m, -2, nleg)
+        pp[m] = 0.5 * (d2p + d2m)
+        pm[m] = 0.5 * (d2p - d2m)
+        cosm[m] = np.cos(m * dphi)
+        sinm[m] = np.sin(m * dphi)
+    return {"d0": d0, "pp": pp, "pm": pm, "cosm": cosm, "sinm": sinm}
+
+
+def ms_source_along_rays_vec(
+    internal, traced: TracedRays, tables, include_ss: bool
+):
+    """Polarized multiple-scatter source per unit optical depth at segment
+    endpoints, in the ray meridian frame (the same frame as the polarized
+    exact single scatter — for straight rays every local meridian plane
+    along the ray coincides with the ray plane, so no extra rotation is
+    needed between boundaries).
+
+    Physical Stokes source at a signed direction cosine mu_s follows from
+    evaluating the generalized-spherical expansion directly at mu_s with
+    the *transformed* level fields (U of downwelling negated): with
+    Pi_l(-mu) = nu_l D Pi_l(mu) D and [B_l, D] = 0,
+
+      J_m(mu_s) = (omega/2) sum_l Pi_l(mu_s) B_l g_l,
+      g_l = sum_j w_j (Pi_l(mu_j)^T I+~_j + nu_l D Pi_l(mu_j)^T I-~_j),
+
+    comes out already in the physical (untransformed) frame for both
+    hemispheres. Replaces the reference's polarized interpolated DO source
+    with its Stokes rotations (``do_source_diffuse_storage.cpp`` NSTOKES=3).
+
+    Returns (j_entrance, j_exit) each [B, R, S, 3]. ``internal`` comes from
+    ``disco_vec.solve_plane_parallel_vector(..., return_internal=True)``.
+    """
+    levels = internal["levels"]      # [M, B, P, K] transformed
+    omega = internal["omega"]        # [B, P]
+    bgreek = internal["bgreek"]      # [B, P, L, 3, 3]
+    t_top = internal["t_top"]
+    sbar = internal["sbar"]
+    dtau = internal["dtau"]
+    d0_sun = internal["d0_sun"]      # [M, L]
+    parity = internal["parity"]      # [M, L]
+    pi = internal["pi_stream"]       # [M, L, N, 3, 3]
+    wq = internal["w_quad"]          # [N]
+    f0 = internal["f0"]
+
+    dt = omega.dtype
+    d0_b = jnp.asarray(tables["d0"], dtype=dt)   # [M, L', R, S+1]
+    pp_b = jnp.asarray(tables["pp"], dtype=dt)
+    pm_b = jnp.asarray(tables["pm"], dtype=dt)
+    cosm = jnp.asarray(tables["cosm"], dtype=dt)  # [M, R, S+1]
+    sinm = jnp.asarray(tables["sinm"], dtype=dt)
+    seg_layer = jnp.asarray(traced.seg_layer)     # [R, S]
+    f_in = jnp.asarray(traced.seg_entrance_frac, dtype=dt)
+    f_out = jnp.asarray(traced.seg_exit_frac, dtype=dt)
+
+    M, L = parity.shape
+    N = pi.shape[2]
+    d0_b, pp_b, pm_b = d0_b[:, :L], pp_b[:, :L], pm_b[:, :L]
+    dsign = jnp.asarray(DSIGN, dtype=dt)
+
+    def stream_sums(ip, im):
+        # Pi^T contraction over (stream j, stokes row s): [M, B, P, L, 3]
+        ipr = ip.reshape(ip.shape[:-1] + (N, NS))
+        imr = im.reshape(im.shape[:-1] + (N, NS))
+        t1 = jnp.einsum("mljst,mbpjs,j->mbplt", pi, ipr, wq)
+        t2 = jnp.einsum("mljst,mbpjs,j->mbplt", pi, imr, wq)
+        return t1 + parity[:, None, None, :, None] * dsign * t2
+
+    g_top = stream_sums(levels["i_plus_top"], levels["i_minus_top"])
+    g_bot = stream_sums(levels["i_plus_bot"], levels["i_minus_bot"])
+
+    # B_l g_l  [M, B, P, L, 3]
+    bg_top = jnp.einsum("bplst,mbplt->mbpls", bgreek, g_top)
+    bg_bot = jnp.einsum("bplst,mbplt->mbpls", bgreek, g_bot)
+
+    # beam column: B_l e1 * nu_l d^l_{m0}(mu0)  [M, B, P, L, 3]
+    bg_beam = jnp.einsum(
+        "bpls,ml->mbpls", bgreek[..., 0], parity * d0_sun
+    )
+
+    # gather per-segment layer quantities
+    bg_top_seg = bg_top[:, :, seg_layer]   # [M, B, R, S, L, 3]
+    bg_bot_seg = bg_bot[:, :, seg_layer]
+    bg_beam_seg = bg_beam[:, :, seg_layer]
+    om_seg = omega[:, seg_layer]           # [B, R, S]
+    ttop_seg = t_top[:, seg_layer]
+    sbar_seg = sbar[:, seg_layer]
+    dtau_seg = dtau[:, seg_layer]
+
+    S = seg_layer.shape[1]
+    mvals = jnp.arange(M)
+    two_minus_delta = jnp.where(mvals == 0, 1.0, 2.0).astype(dt)
+
+    def endpoint_source(frac, offset):
+        d0_pts = d0_b[:, :, :, offset : S + offset]   # [M, L, R, S]
+        pp_pts = pp_b[:, :, :, offset : S + offset]
+        pm_pts = pm_b[:, :, :, offset : S + offset]
+        cos_pts = cosm[:, :, offset : S + offset]     # [M, R, S]
+        sin_pts = sinm[:, :, offset : S + offset]
+
+        bg = bg_top_seg * (1.0 - frac)[..., None, None] + (
+            bg_bot_seg * frac[..., None, None]
+        )
+        if include_ss:
+            tbeam = (
+                two_minus_delta[:, None, None, None]
+                / (4.0 * jnp.pi)
+                * (f0[..., None, None] if f0 is not None else 1.0)
+                * ttop_seg
+                * jnp.exp(-sbar_seg * dtau_seg * frac)
+            )[..., None, None]
+            bg = 0.5 * om_seg[..., None, None] * bg + (
+                om_seg[..., None, None] * tbeam * bg_beam_seg
+            )
+        else:
+            bg = 0.5 * om_seg[..., None, None] * bg
+
+        # Pi_l(mu_s) rows applied per boundary, then the azimuth synthesis
+        j_i = jnp.einsum("mbrsl,mlrs->mbrs", bg[..., 0], d0_pts)
+        j_q = jnp.einsum("mbrsl,mlrs->mbrs", bg[..., 1], pp_pts) - (
+            jnp.einsum("mbrsl,mlrs->mbrs", bg[..., 2], pm_pts)
+        )
+        j_u = -jnp.einsum("mbrsl,mlrs->mbrs", bg[..., 1], pm_pts) + (
+            jnp.einsum("mbrsl,mlrs->mbrs", bg[..., 2], pp_pts)
+        )
+        out_i = jnp.einsum("mbrs,mrs->brs", j_i, cos_pts)
+        out_q = jnp.einsum("mbrs,mrs->brs", j_q, cos_pts)
+        out_u = jnp.einsum("mbrs,mrs->brs", j_u, sin_pts)
+        return jnp.stack([out_i, out_q, out_u], axis=-1)
+
+    return endpoint_source(f_in, 0), endpoint_source(f_out, 1)
 
 
 def ms_source_along_rays(internal, traced: TracedRays, tables, include_ss: bool):

@@ -381,15 +381,18 @@ def _solar_at_point(s_dist, r_ref, coszen_ref, sun_vec):
     r_hat = r_vec / r
     cs = float(np.dot(sun_vec, r_hat))
     cz = float(np.dot(p_hat, r_hat))
-    cos_theta = float(-np.dot(p_hat, sun_vec))
     sz = np.sqrt(max(1.0 - cz * cz, 0.0))
     ss = np.sqrt(max(1.0 - cs * cs, 0.0))
-    denom = sz * ss
-    if denom < 1e-12:
+    if sz * ss < 1e-12:
         relazi = 0.0
     else:
-        relazi = float(np.arccos(np.clip(-(cos_theta + cz * cs) / denom,
-                                         -1.0, 1.0)))
+        # signed relative azimuth: atan2 of the sun's horizontal components
+        # along (h_hat, r_hat x h_hat). The sign only matters for the
+        # polarized U component (everything scalar uses cos(relazi)).
+        h_hat = (p_hat - cz * r_hat) / sz
+        y_hat = np.cross(r_hat, h_hat)
+        relazi = float(np.arctan2(np.dot(sun_vec, y_hat),
+                                  np.dot(sun_vec, h_hat)))
     return cs, cz, relazi, r
 
 
@@ -613,15 +616,15 @@ def _curved_boundary(
     d_hat = cos_prop * r_hat + sin_prop * phi_hat
     cs = float(np.dot(sun_vec, r_hat))
     cz = float(cos_prop)
-    cos_theta = float(-np.dot(d_hat, sun_vec))
     sz = np.sqrt(max(1.0 - cz * cz, 0.0))
     ss = np.sqrt(max(1.0 - cs * cs, 0.0))
-    denom = sz * ss
-    if denom < 1e-12:
+    if sz * ss < 1e-12:
         relazi_loc = 0.0
     else:
+        h_hat = (d_hat - cz * r_hat) / sz
+        y_hat = np.cross(r_hat, h_hat)
         relazi_loc = float(
-            np.arccos(np.clip(-(cos_theta + cz * cs) / denom, -1.0, 1.0))
+            np.arctan2(np.dot(sun_vec, y_hat), np.dot(sun_vec, h_hat))
         )
     cos_zenith[ri, b] = cz
     cos_sza_b[ri, b] = cs
