@@ -126,7 +126,9 @@ class Config:
 
     # --- successive orders ------------------------------------------------
     num_successive_orders_iterations: int = 50
-    init_successive_orders_with_discrete_ordinates: bool = True
+    # reference default false (cpp/lib/config/config.cpp:22,
+    # m_initialize_hr_with_do_solution)
+    init_successive_orders_with_discrete_ordinates: bool = False
     num_successive_orders_points: int = 100
     num_successive_orders_incoming: int = 110
     num_successive_orders_outgoing: int = 110

@@ -149,6 +149,12 @@ class Engine:
         if self._needs_so:
             from .rt import successive
 
+            if config.num_stokes == 3:
+                msg = (
+                    "num_stokes=3 successive orders is not implemented "
+                    "(use MultipleScatterSource.DiscreteOrdinates)"
+                )
+                raise NotImplementedError(msg)
             n_inc = max(4, int(round(config.num_successive_orders_incoming
                                      ** 0.5)))
             self._so_geom = successive.build_so_geometry(
@@ -159,6 +165,28 @@ class Engine:
             self._so_obs_tables = successive.observer_source_tables(
                 self._traced, self._so_geom
             )
+            self._so_do_init = (
+                config.init_successive_orders_with_discrete_ordinates
+            )
+            if self._so_do_init:
+                from .rt import do_source as do_source_mod
+
+                nstr_so = config.num_streams
+                num_azi_so = (
+                    config.num_forced_azimuth
+                    if config.num_forced_azimuth > 0
+                    else nstr_so
+                )
+                self._so_do_tables = disco.build_mode_tables(
+                    nstr_so, nstr_so, geometry.cos_sza, np.array([0.5]),
+                    num_azimuth=num_azi_so,
+                )
+                self._so_dir_tables = (
+                    do_source_mod.build_level_direction_tables(
+                        self._so_geom.mu_d, self._so_geom.phi_d,
+                        nstr_so, num_azi_so,
+                    )
+                )
 
         self._compute_jit = None
         self._needs_leg_jac = False
@@ -414,9 +442,26 @@ class Engine:
             from .rt import successive
             from .rt.singlescatter import integrate_od_source
 
+            j_init = None
+            if self._so_do_init:
+                from .rt import do_source as do_source_mod
+
+                dtau_so, omega_so, beta_so = self._layer_optical(
+                    ext, ssa, leg
+                )
+                _, do_internal = disco.solve_plane_parallel(
+                    dtau_so, omega_so, beta_so, alb, self._so_do_tables,
+                    np.array([True]), np.array([0.0]),
+                    include_ss=False,
+                    return_internal=True,
+                )
+                j_init = do_source_mod.ms_source_on_levels(
+                    do_internal, self._so_dir_tables
+                )
             _, j_field, i_ground = successive.successive_orders_field(
                 ext, ssa, leg, alb, self._so_geom,
                 cfg.num_successive_orders_iterations,
+                j_init=j_init,
             )
             j_in, j_out = successive.so_source_along_rays(
                 j_field, self._traced, self._so_obs_tables
@@ -867,7 +912,10 @@ class Engine:
                 out[f"{flux_names[ftype.value]}_flux"] = DataArray(
                     flux[:, ti, :], ("wavelength", "flux_location")
                 )
-        if atmosphere.wavelengths_nm is not None:
+        out_wavel = getattr(atmosphere, "_output_wavelengths_nm", None)
+        if out_wavel is not None:
+            out.coords["wavelength"] = out_wavel
+        elif atmosphere.wavelengths_nm is not None:
             out.coords["wavelength"] = atmosphere.wavelengths_nm
         out.coords["stokes"] = ["I", "Q", "U", "V"][:nstokes]
 

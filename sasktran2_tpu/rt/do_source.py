@@ -38,6 +38,63 @@ def build_ray_angular_tables(traced: TracedRays, nleg: int, num_azimuth: int):
     return {"lam_b": lam_b, "cosm": cosm}
 
 
+def build_level_direction_tables(mu_d, phi_d, nleg: int, num_azimuth: int):
+    """Static tables for evaluating the scalar DO source on a (level x
+    direction) grid: normalized ALP at the signed direction cosines and the
+    azimuth cosines (for initializing successive orders from the DO
+    solution; reference ``diffuse_table.cpp:306-331`` builds the analogous
+    DO-storage -> diffuse-outgoing interpolator)."""
+    mu_d = np.asarray(mu_d, dtype=np.float64)
+    D = len(mu_d)
+    lam_d = np.zeros((num_azimuth, nleg, D))
+    cosm = np.zeros((num_azimuth, D))
+    for m in range(num_azimuth):
+        lam_d[m] = normalized_alp(mu_d, m, nleg)
+        cosm[m] = np.cos(m * (np.pi - np.asarray(phi_d)))
+    return {"lam_d": lam_d, "cosm": cosm}
+
+
+def ms_source_on_levels(internal, tables):
+    """Scalar DO diffuse (multiple-scatter-only) source per unit optical
+    depth on a (level x direction) grid: [B, V, D] with V bottom-up levels.
+
+    Used to initialize the successive-orders iteration from the DO solution
+    (reference ``initialize_hr_with_do``, ``diffuse_table.cpp:739-750``).
+    The direct-beam scattering term is excluded — the SO field's first
+    order already contains it.
+    """
+    lam = internal["lam"]          # [M, L, N]
+    parity = internal["parity"]    # [M, L]
+    omega = internal["omega"]      # [B, P]
+    beta = internal["beta"]        # [B, P, L]
+    levels = internal["levels"]    # [M, B, P, N]
+    wq = internal["w_quad"]
+
+    dt = omega.dtype
+    lam_d = jnp.asarray(tables["lam_d"], dtype=dt)  # [M, L', D]
+    cosm = jnp.asarray(tables["cosm"], dtype=dt)    # [M, D]
+    L = lam.shape[1]
+    lam_d = lam_d[:, :L]
+
+    def stream_sums(ip, im):
+        s1 = jnp.einsum("mln,mbpn->mbpl", lam, ip * wq)
+        s2 = jnp.einsum("mln,mbpn->mbpl", lam, im * wq)
+        return s1 + parity[:, None, None, :] * s2
+
+    g_top = stream_sums(levels["i_plus_top"], levels["i_minus_top"])
+    g_bot = stream_sums(levels["i_plus_bot"], levels["i_minus_bot"])
+    # boundary fields TOA-first: layer tops + ground (bottom of last layer)
+    g_b = jnp.concatenate([g_top, g_bot[:, :, -1:]], axis=2)  # [M,B,P+1,L]
+    om_b = jnp.concatenate([omega, omega[..., -1:]], axis=-1)  # [B, P+1]
+    beta_b = jnp.concatenate([beta, beta[..., -1:, :]], axis=-2)
+
+    j_m = 0.5 * om_b[..., None] * jnp.einsum(
+        "bvl,mld,mbvl->mbvd", beta_b, lam_d, g_b
+    )
+    j = jnp.einsum("mbvd,md->bvd", j_m, cosm)  # [B, P+1, D] TOA-first
+    return j[:, ::-1]  # bottom-up levels
+
+
 def build_ray_vector_tables(traced: TracedRays, nleg: int, num_azimuth: int):
     """Static angular tables for the polarized ray source: the three
     independent generalized-spherical-function entries of Pi_l^m at each

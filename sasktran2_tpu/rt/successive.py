@@ -275,10 +275,17 @@ def _upstream_segments(r0, mu, radii, rt):
 
 def successive_orders_field(
     extinction, ssa, leg_coeff, albedo, geom: SOGeometry, iterations: int,
+    j_init=None,
 ):
     """Iterate the scattering field. Inputs: extinction/ssa [W, A],
     leg_coeff [W, A, L], albedo [W]. Returns the converged diffuse+direct-
-    scatter radiance field I [W, V, D] and source J [W, V, D]."""
+    scatter radiance field I [W, V, D] and source J [W, V, D].
+
+    ``j_init`` (optional, [W, V, D]): multiple-scatter-only source per unit
+    OD used to seed the incoming field before the first iteration — the
+    DO-initialization mode (reference ``initialize_hr_with_do``,
+    ``diffuse_table.cpp:739-760``: outgoing sources start from the
+    interpolated DO source, one transport precedes the iteration)."""
     dt = extinction.dtype
     seg_idx = jnp.asarray(geom.seg_idx)
     seg_w = jnp.asarray(geom.seg_w, dtype=dt)
@@ -366,7 +373,10 @@ def successive_orders_field(
         i_new = i_first + transport_simple(j) + ground_diffuse(i_field)
         return i_new, None
 
-    i_final, _ = jax.lax.scan(step, i_first, None, length=iterations)
+    i_start = i_first
+    if j_init is not None:
+        i_start = i_first + transport_simple(j_init) + ground_diffuse(i_first)
+    i_final, _ = jax.lax.scan(step, i_start, None, length=iterations)
     j_final = scattering_source(i_final)
     # diffuse ground-leaving radiance (for observer end-of-ray terms)
     i_ground_diffuse = albedo * jnp.einsum(

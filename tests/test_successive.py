@@ -94,3 +94,41 @@ def test_so_vs_do_reflective_surface():
                                             albedo=0.0)
     r_dark = e_so.calculate_radiance(a3)["radiance"].to_numpy()[0, 0, 0]
     assert r_so > 1.5 * r_dark
+
+
+def test_so_do_initialization():
+    """DO-initialized successive orders (reference initialize_hr_with_do,
+    diffuse_table.cpp:739): with the DO seed, 2 iterations must land much
+    closer to the converged (40-iteration) answer than 2 cold iterations
+    do, and the converged answers must agree regardless of the seed."""
+    geometry = sk.Geometry1D(
+        cos_sza=0.7, solar_azimuth=0.0, earth_radius_m=6372000.0,
+        altitude_grid_m=np.linspace(0, 60000, 12),
+        geometry_type=sk.GeometryType.Spherical,
+    )
+    viewing = sk.ViewingGeometry()
+    viewing.add_ray(sk.GroundViewingSolar(0.7, 0.4, 0.8, 200000.0))
+
+    def run(iters, do_init):
+        c = sk.Config(
+            num_streams=8,
+            multiple_scatter_source=sk.MultipleScatterSource.SuccessiveOrders,
+            single_scatter_source=sk.SingleScatterSource.Exact,
+            num_singlescatter_moments=4,
+            num_successive_orders_iterations=iters,
+            num_successive_orders_incoming=100,
+            init_successive_orders_with_discrete_ordinates=do_init,
+        )
+        e = sk.Engine(c, geometry, viewing)
+        a = default_pure_scattering_atmosphere(c, geometry, ssa=0.95,
+                                               albedo=0.3)
+        return e.calculate_radiance(a)["radiance"].to_numpy()[0, 0, 0]
+
+    converged = run(40, False)
+    cold2 = run(2, False)
+    warm2 = run(2, True)
+    converged_warm = run(40, True)
+    np.testing.assert_allclose(converged_warm, converged, rtol=1e-9)
+    err_cold = abs(cold2 - converged)
+    err_warm = abs(warm2 - converged)
+    assert err_warm < 0.25 * err_cold
