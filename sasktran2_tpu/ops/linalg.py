@@ -90,7 +90,7 @@ def gauss_solve(a, b):
 
 
 def block_tridiag_solve(lower, diag, upper, rhs):
-    """Solve a batched block-tridiagonal system with the block-Thomas scan.
+    """Solve a batched block-tridiagonal system.
 
     System: ``lower[p] @ x[p-1] + diag[p] @ x[p] + upper[p] @ x[p+1] = rhs[p]``
     for ``p = 0..P-1`` (``lower[0]`` and ``upper[P-1]`` ignored).
@@ -98,12 +98,107 @@ def block_tridiag_solve(lower, diag, upper, rhs):
     Shapes: lower/diag/upper ``[..., P, K, K]``, rhs ``[..., P, K]`` where
     leading dims are batch. Returns ``x`` with the shape of ``rhs``.
 
-    Each elimination step is a batched KxK LU solve + matmul, which XLA maps
-    onto the MXU; the scan is sequential over the layer axis only, matching
-    the intrinsic data dependence of the boundary-value problem (the
-    reference solves the same structure with LAPACK ``dgbsv``,
-    ``sktran_do_rte.cpp:1640-1810``).
+    Dispatches to block cyclic reduction (log2(P) levels of fully batched
+    block eliminations — the TPU-friendly replacement for the reference's
+    sequential LAPACK ``dgbsv``, ``sktran_do_rte.cpp:1640-1810``) for deep
+    systems, and to the sequential block-Thomas scan for shallow ones where
+    the reduction overhead isn't paid back.
     """
+    if diag.shape[-3] >= 8:
+        return block_tridiag_solve_cr(lower, diag, upper, rhs)
+    return block_tridiag_solve_thomas(lower, diag, upper, rhs)
+
+
+def block_tridiag_solve_cr(lower, diag, upper, rhs):
+    """Block cyclic reduction.
+
+    Each level eliminates the odd-indexed blocks with one batched
+    Gauss-Jordan elimination over ALL odd blocks simultaneously (stacked
+    right-hand sides ``[L_odd | U_odd | r_odd]``), then substitutes into the
+    even equations. Depth is ``ceil(log2 P)`` with every level's work a set
+    of large batched K x K matmuls on the MXU — wall-clock scales like
+    ``log P`` instead of the Thomas scan's ``P``. No pivoting inside blocks
+    (same well-scaled-BVP assumption as the Thomas path; guarded by the
+    brute-force oracle tests).
+    """
+    P = diag.shape[-3]
+    K = diag.shape[-1]
+    batch = jnp.broadcast_shapes(diag.shape[:-3], rhs.shape[:-2])
+    dt = jnp.result_type(diag.dtype, rhs.dtype)
+
+    lo = jnp.broadcast_to(lower, batch + (P, K, K)).astype(dt)
+    di = jnp.broadcast_to(diag, batch + (P, K, K)).astype(dt)
+    up = jnp.broadcast_to(upper, batch + (P, K, K)).astype(dt)
+    r = jnp.broadcast_to(rhs, batch + (P, K)).astype(dt)
+
+    # pad to a power of two with decoupled identity equations (x = 0)
+    P2 = 1 << (P - 1).bit_length()
+    if P2 != P:
+        pad = P2 - P
+        eye = jnp.broadcast_to(jnp.eye(K, dtype=dt), batch + (pad, K, K))
+        zkk = jnp.zeros(batch + (pad, K, K), dtype=dt)
+        zk = jnp.zeros(batch + (pad, K), dtype=dt)
+        lo = jnp.concatenate([lo, zkk], axis=-3)
+        di = jnp.concatenate([di, eye], axis=-3)
+        up = jnp.concatenate([up, zkk], axis=-3)
+        r = jnp.concatenate([r, zk], axis=-3 + 1)
+
+    mm = lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b)
+    mv = lambda a, b: jnp.einsum("...ij,...j->...i", a, b)
+
+    levels = []
+    n = P2
+    while n > 1:
+        lo_o = lo[..., 1::2, :, :]   # odd blocks (eliminated)
+        di_o = di[..., 1::2, :, :]
+        up_o = up[..., 1::2, :, :]
+        r_o = r[..., 1::2, :]
+        # one elimination for D_odd^{-1} [L_odd | U_odd | r_odd]
+        stacked = jnp.concatenate(
+            [lo_o, up_o, r_o[..., None]], axis=-1
+        )
+        sol = gauss_solve(di_o, stacked)
+        dinv_l = sol[..., :K]
+        dinv_u = sol[..., K : 2 * K]
+        dinv_r = sol[..., 2 * K]
+        levels.append((dinv_l, dinv_u, dinv_r))
+
+        lo_e = lo[..., 0::2, :, :]
+        di_e = di[..., 0::2, :, :]
+        up_e = up[..., 0::2, :, :]
+        r_e = r[..., 0::2, :]
+        # even block j=2k couples to odd 2k-1 (below) and 2k+1 (above)
+        # shift the odd results: "below" of kept k is odd index k-1
+        zkk1 = jnp.zeros_like(dinv_l[..., :1, :, :])
+        zk1 = jnp.zeros_like(dinv_r[..., :1, :])
+        dinv_l_b = jnp.concatenate([zkk1, dinv_l[..., :-1, :, :]], axis=-3)
+        dinv_u_b = jnp.concatenate([zkk1, dinv_u[..., :-1, :, :]], axis=-3)
+        dinv_r_b = jnp.concatenate([zk1, dinv_r[..., :-1, :]], axis=-2)
+
+        di = di_e - mm(lo_e, dinv_u_b) - mm(up_e, dinv_l)
+        r = r_e - mv(lo_e, dinv_r_b) - mv(up_e, dinv_r)
+        lo = -mm(lo_e, dinv_l_b)
+        up = -mm(up_e, dinv_u)
+        n //= 2
+
+    x = gauss_solve(di, r[..., None])[..., 0]  # [..., 1, K]
+
+    for dinv_l, dinv_u, dinv_r in reversed(levels):
+        m = x.shape[-2]  # number of kept (even) blocks at this level
+        # odd index 2k+1 couples to even 2k (= x[k]) and 2k+2 (= x[k+1])
+        x_above = jnp.concatenate(
+            [x[..., 1:, :], jnp.zeros_like(x[..., :1, :])], axis=-2
+        )
+        x_odd = dinv_r - mv(dinv_l, x) - mv(dinv_u, x_above)
+        inter = jnp.stack([x, x_odd], axis=-2)  # [..., m, 2, K]
+        x = inter.reshape(x.shape[:-2] + (2 * m, K))
+
+    return x[..., :P, :]
+
+
+def block_tridiag_solve_thomas(lower, diag, upper, rhs):
+    """Sequential block-Thomas scan (kept for shallow systems and as the
+    oracle for the cyclic-reduction path)."""
     # Move the layer axis to the front for lax.scan.
     P = diag.shape[-3]
     perm = lambda x, nd: jnp.moveaxis(x, -nd, 0)
