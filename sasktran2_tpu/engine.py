@@ -773,7 +773,11 @@ class Engine:
 
     @functools.lru_cache(maxsize=4)
     def _chapman_cache(self, dtype_name):
-        """Pseudo-spherical chapman factors per DO solar group (static)."""
+        """Pseudo-spherical chapman factors per DO solar-zenith group
+        (static). Covers every solve group — nadir/ground DO groups, the
+        SZA-gridded limb source solves, and flux-observer solves — mirroring
+        the reference's per-SZA chapman factors
+        (``sktran_do_layerarray.cpp:908-932``)."""
         out = {}
         if not self._needs_do:
             return out
@@ -781,8 +785,18 @@ class Engine:
         alts = self._geometry.altitudes()
         P = len(alts) - 1
         re = self._geometry.earth_radius_m
-        for _, tables, _, _ in self._do_groups:
+        all_tables = [tables for _, tables, _, _ in self._do_groups]
+        all_tables += [
+            t for _, tables_list in getattr(self, "_limb_groups", [])
+            for t in tables_list
+        ]
+        all_tables += [
+            tables for _, tables, _ in getattr(self, "_flux_groups", [])
+        ]
+        for tables in all_tables:
             mu0 = tables.mu0
+            if mu0 in out:
+                continue
             if geom_type == GeometryType.PlaneParallel:
                 out[mu0] = None  # default 1/mu0 inside the solver
                 continue

@@ -38,6 +38,7 @@ class LineCatalogue:
     delta_air: np.ndarray      # pressure shift [cm^-1/atm]
     elower: np.ndarray         # lower-state energy [cm^-1]
     molar_mass: float          # [kg/mol]
+    einstein_a: np.ndarray | None = None  # A coefficient [1/s] (emission)
 
 
 class LineAbsorber(OpticalProperty):
@@ -136,13 +137,14 @@ class LineAbsorber(OpticalProperty):
 def load_hitran_par(path, molar_mass_kg_mol):
     """Parse a HITRAN 160-character .par line file into a LineCatalogue
     (role of the reference's ``optical/line/hitran_loader.rs``)."""
-    nu0, s, ga, gs, na, da, el = [], [], [], [], [], [], []
+    nu0, s, aa, ga, gs, na, da, el = [], [], [], [], [], [], [], []
     with open(path) as f:
         for line in f:
             if len(line) < 100:
                 continue
             nu0.append(float(line[3:15]))
             s.append(float(line[15:25]))
+            aa.append(float(line[25:35]))
             ga.append(float(line[35:40]))
             gs.append(float(line[40:45]))
             el.append(float(line[45:55]))
@@ -153,4 +155,5 @@ def load_hitran_par(path, molar_mass_kg_mol):
         gamma_air=np.array(ga), gamma_self=np.array(gs),
         n_air=np.array(na), delta_air=np.array(da),
         elower=np.array(el), molar_mass=molar_mass_kg_mol,
+        einstein_a=np.array(aa),
     )

@@ -103,4 +103,6 @@ def test_modis_engine_wf():
     up = engine.calculate_radiance(make_atmo(0.15 + h))["radiance"].to_numpy()
     dn = engine.calculate_radiance(make_atmo(0.15 - h))["radiance"].to_numpy()
     numeric = (up - dn)[0, 0, 0] / (2 * h)
-    np.testing.assert_allclose(analytic, numeric, rtol=1e-5)
+    # central-difference truncation/roundoff in f64 leaves ~1e-5 relative
+    # noise in the numeric probe itself
+    np.testing.assert_allclose(analytic, numeric, rtol=1e-4)
