@@ -39,6 +39,9 @@ class LineCatalogue:
     elower: np.ndarray         # lower-state energy [cm^-1]
     molar_mass: float          # [kg/mol]
     einstein_a: np.ndarray | None = None  # A coefficient [1/s] (emission)
+    iso_id: np.ndarray | None = None      # HITRAN isotopologue number
+    g_upper: np.ndarray | None = None     # upper statistical weight g'
+    g_lower: np.ndarray | None = None     # lower statistical weight g''
 
 
 class LineAbsorber(OpticalProperty):
@@ -134,14 +137,25 @@ class LineAbsorber(OpticalProperty):
         return xs[:, inv]
 
 
+def _float_or_nan(text):
+    try:
+        return float(text)
+    except ValueError:
+        return float("nan")
+
+
 def load_hitran_par(path, molar_mass_kg_mol):
     """Parse a HITRAN 160-character .par line file into a LineCatalogue
-    (role of the reference's ``optical/line/hitran_loader.rs``)."""
+    (role of the reference's ``optical/line/hitran_loader.rs``). Statistical
+    weights g'/g'' live in columns 146:153 / 153:160 of full records and
+    feed emission line weighting; short records leave them NaN."""
     nu0, s, aa, ga, gs, na, da, el = [], [], [], [], [], [], [], []
+    iso, gp, gpp = [], [], []
     with open(path) as f:
         for line in f:
             if len(line) < 100:
                 continue
+            iso.append(int(line[2:3]) if line[2:3].strip() else 1)
             nu0.append(float(line[3:15]))
             s.append(float(line[15:25]))
             aa.append(float(line[25:35]))
@@ -150,10 +164,15 @@ def load_hitran_par(path, molar_mass_kg_mol):
             el.append(float(line[45:55]))
             na.append(float(line[55:59]))
             da.append(float(line[59:67]))
+            gp.append(_float_or_nan(line[146:153]) if len(line) >= 153
+                      else float("nan"))
+            gpp.append(_float_or_nan(line[153:160]) if len(line) >= 154
+                       else float("nan"))
     return LineCatalogue(
         nu0=np.array(nu0), intensity=np.array(s),
         gamma_air=np.array(ga), gamma_self=np.array(gs),
         n_air=np.array(na), delta_air=np.array(da),
         elower=np.array(el), molar_mass=molar_mass_kg_mol,
-        einstein_a=np.array(aa),
+        einstein_a=np.array(aa), iso_id=np.array(iso, dtype=np.int64),
+        g_upper=np.array(gp), g_lower=np.array(gpp),
     )

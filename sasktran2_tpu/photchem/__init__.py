@@ -10,11 +10,56 @@ from __future__ import annotations
 
 import numpy as np
 
+from .emission import (
+    EmissionBand,
+    EmissionTransition,
+    mcdade_oxygen_green_line_o1s_population,
+    mcdade_oxygen_green_line_photon_ver,
+    oxygen_a_band_from_catalogue,
+    oxygen_b_band_from_catalogue,
+    oxygen_green_line_transition,
+    photon_ver_from_state_profile,
+)
+from .models import (
+    PhotochemicalModel,
+    Yankovsky,
+    calculate_photolysis_rate,
+    wavelength_bin_widths,
+)
+from .types import ChemicalReaction, Molecule, PhotoReaction, RateConstant
 
-def calculate_photolysis_rate(
+__all__ = [
+    "ChemicalReaction",
+    "EmissionBand",
+    "EmissionTransition",
+    "Molecule",
+    "PhotoReaction",
+    "PhotochemicalModel",
+    "RateConstant",
+    "Yankovsky",
+    "calculate_photolysis_rate",
+    "integrate_photolysis_rate",
+    "irradiance_to_photon_flux",
+    "mcdade_oxygen_green_line_o1s_population",
+    "mcdade_oxygen_green_line_photon_ver",
+    "o2_singlet_delta_ver",
+    "oxygen_a_band_from_catalogue",
+    "oxygen_b_band_from_catalogue",
+    "oxygen_green_line_transition",
+    "photon_ver_from_state_profile",
+    "wavelength_bin_widths",
+]
+
+
+def integrate_photolysis_rate(
     wavelengths_nm, cross_section_m2, quantum_yield, actinic_flux,
 ):
     """J [1/s] = int sigma(lambda) phi(lambda) F_actinic(lambda) dlambda.
+
+    Plain trapezoid integral over explicit arrays. For the reference-parity
+    reaction-based API (band windows, single-line evaluation, TOA-rate
+    renormalization) use :func:`calculate_photolysis_rate` (from
+    ``photchem.models``, reference ``photchem/models.rs:383``).
 
     actinic_flux: spectral actinic flux in photons / (m^2 s nm) — or in
     W / (m^2 nm), in which case pass it through

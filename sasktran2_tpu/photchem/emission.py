@@ -135,6 +135,11 @@ def photon_ver_from_state_profile(state_profiles, state_name, einstein_a_s):
 # Band emission from HITRAN line catalogues
 
 
+#: HITRAN O2 isotopologue natural abundances (reference emission.rs
+#: ``o2_hitran_isotope_abundance``)
+O2_ISOTOPE_ABUNDANCE = {1: 0.9952616, 2: 0.00399141, 3: 0.0007422352}
+
+
 @dataclass
 class EmissionBand:
     """A vibrational emission band resolved into rotational lines.
@@ -143,10 +148,13 @@ class EmissionBand:
     two weighting models mirror the reference
     (``AEmissionLineWeightModel``):
 
-    - *einstein_a_branching*: relative A-coefficients (x isotope
-      abundance), temperature-independent.
-    - *hitran_line_strength*: LTE Boltzmann weights
-      ``A * g' * exp(-c2 E'/T)`` at a given temperature.
+    - *static* (``weights``): relative A-coefficients x isotope
+      abundance, temperature-independent (reference emission.rs
+      ``relative_weight = einstein_a * abundance``).
+    - *einstein_a_branching* (:meth:`lte_weights`): LTE Boltzmann upper
+      populations ``abundance * g' * exp(-c2 E'/T)`` times the upper-level
+      branching ratio ``A_line / sum_A(same upper level)`` (reference
+      ``oxygen_a_band_einstein_branching_line_weights``).
     """
 
     name: str
@@ -157,16 +165,23 @@ class EmissionBand:
     einstein_a_line_s: np.ndarray    # [nlines]
     upper_energy_cminv: np.ndarray   # [nlines]
     weights: np.ndarray              # [nlines], sums to 1
+    g_upper: np.ndarray | None = None          # [nlines] statistical weight
+    iso_abundance: np.ndarray | None = None    # [nlines]
+    upper_branching: np.ndarray | None = None  # [nlines] A/sum_A(level)
 
     @staticmethod
     def from_catalogue(
         name, upper_state, lower_state, total_einstein_a_s, catalogue,
         min_wavelength_nm, max_wavelength_nm,
+        isotope_abundances=None,
     ) -> "EmissionBand":
         """Build a band from a :class:`~..optical.line_absorber.
         LineCatalogue` by selecting lines inside a wavelength window.
         Requires the catalogue to carry Einstein-A coefficients
-        (``load_hitran_par`` parses them)."""
+        (``load_hitran_par`` parses them, plus g' and isotopologue ids).
+
+        ``isotope_abundances`` maps HITRAN isotopologue number to natural
+        abundance (defaults to the O2 table)."""
         if min_wavelength_nm >= max_wavelength_nm:
             msg = "Invalid band wavelength range"
             raise ValueError(msg)
@@ -194,19 +209,82 @@ class EmissionBand:
             np.asarray(catalogue.elower)[keep][order]
             + np.asarray(catalogue.nu0)[keep][order]
         )
-        w = a_k / a_k.sum()
+
+        abund_table = (
+            O2_ISOTOPE_ABUNDANCE if isotope_abundances is None
+            else isotope_abundances
+        )
+        iso = getattr(catalogue, "iso_id", None)
+        if iso is not None:
+            iso_k = np.asarray(iso)[keep][order]
+            abund = np.array(
+                [abund_table.get(int(i), 0.0) for i in iso_k]
+            )
+        else:
+            iso_k = np.ones(wl_k.size, dtype=np.int64)
+            abund = np.ones(wl_k.size)
+
+        gp = getattr(catalogue, "g_upper", None)
+        gp_k = None
+        if gp is not None:
+            gp_k = np.asarray(gp)[keep][order]
+            if not np.any(np.isfinite(gp_k) & (gp_k > 0)):
+                gp_k = None
+
+        # Branching ratio: group lines sharing the same upper level —
+        # identified physically by (isotopologue, upper energy) since a
+        # level's E' = E'' + nu0 is identical for its P/R/Q branches
+        # (reference groups by parsed upper quanta; energy matching avoids
+        # a quanta parser and is exact to catalogue precision).
+        branching = np.ones(wl_k.size)
+        level_key = np.stack([iso_k.astype(np.float64),
+                              np.round(eup, 2)], axis=1)
+        _, level_idx = np.unique(level_key, axis=0, return_inverse=True)
+        sums = np.zeros(level_idx.max() + 1)
+        np.add.at(sums, level_idx, a_k)
+        branching = a_k / sums[level_idx]
+
+        w = a_k * abund
+        if w.sum() <= 0:
+            msg = "Emission band line weights sum to zero"
+            raise ValueError(msg)
+        w = w / w.sum()
         return EmissionBand(
             name, upper_state, lower_state, float(total_einstein_a_s),
             wl_k, a_k, eup, w,
+            g_upper=gp_k, iso_abundance=abund, upper_branching=branching,
         )
 
     def lte_weights(self, temperature_k: float) -> np.ndarray:
         """Boltzmann line weights at one temperature (LTE within the
-        upper vibrational state)."""
-        x = self.einstein_a_line_s * np.exp(
-            -C2_CM_K * (self.upper_energy_cminv - self.upper_energy_cminv.min())
-            / float(temperature_k)
+        upper vibrational state): ``abundance * g' * exp(-c2 E'/T) *
+        branching``, normalized (reference emission.rs
+        ``oxygen_a_band_einstein_branching_line_weights``). Requires the
+        catalogue to have carried upper statistical weights g'."""
+        if self.g_upper is None:
+            msg = (
+                "LTE line weights need upper statistical weights g' — "
+                "load the catalogue from a full 160-column HITRAN .par "
+                "record (columns 146:153)"
+            )
+            raise ValueError(msg)
+        abund = (
+            self.iso_abundance if self.iso_abundance is not None
+            else np.ones_like(self.einstein_a_line_s)
         )
+        branch = (
+            self.upper_branching if self.upper_branching is not None
+            else np.ones_like(self.einstein_a_line_s)
+        )
+        gp = np.where(np.isfinite(self.g_upper), self.g_upper, 0.0)
+        x = abund * gp * np.exp(
+            -C2_CM_K
+            * (self.upper_energy_cminv - self.upper_energy_cminv.min())
+            / float(temperature_k)
+        ) * branch
+        if x.sum() <= 0:
+            msg = "LTE line weights sum to zero"
+            raise ValueError(msg)
         return x / x.sum()
 
     def photon_ver(self, upper_population):

@@ -169,6 +169,14 @@ class PhotochemicalModel:
             :meth:`required_photolysis_rates`) or an array
             ``[n_photo, Z]`` ordered like ``self.photo_reactions``.
 
+            Dict entries are *channel* rates shared by every branch with
+            that name (e.g. all O3 Hartley branches share ``J_O3_``);
+            the per-branch quantum yield is applied here. Array entries
+            are *per-reaction* rates with the quantum yield already
+            included — the reference convention, matching what
+            :func:`calculate_photolysis_rate` returns per reaction
+            (models.rs:186 zips one J per photo reaction).
+
         Returns
         -------
         dict of excited-state name -> ``[Z]`` population in m^-3.
@@ -176,9 +184,13 @@ class PhotochemicalModel:
         t = np.atleast_1d(np.asarray(temperature_k, dtype=np.float64))
         nz = t.size
         bg = {k for k in densities}
+        # Background species match on exact canonical name; only true
+        # ground states (O2, O3, N2, CO2, O/O(3P)) may fall back to a
+        # base-name density entry. Excited states sharing a base
+        # (O2(b,v=*), O(1D), ...) are solved for.
         state = [
             m for m in self.molecules()
-            if m.name not in bg and m.base not in bg
+            if m.name not in bg and not (m.is_ground and m.base in bg)
         ]
         index = {m: i for i, m in enumerate(state)}
         n = len(state)
@@ -240,6 +252,7 @@ class PhotochemicalModel:
                 j = photolysis_rates.get(r.rate_name)
                 if j is None:
                     continue
+                j = np.asarray(j, dtype=np.float64) * r.quantum_yield
             else:
                 j = photolysis_rates[k]
             j = np.broadcast_to(np.asarray(j, dtype=np.float64), (nz,))

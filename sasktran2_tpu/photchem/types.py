@@ -60,6 +60,17 @@ class Molecule:
             return self.base
         return f"{self.base}({self.elec}, v={self.v})"
 
+    @property
+    def is_ground(self) -> bool:
+        """True for true ground states (``O2``, ``O3``, ``N2``, ``CO2``
+        with elec X / v=0, and atomic ``O`` / ``O(3P)``). Only ground
+        states may fall back to the base-name density entry — excited
+        states sharing the base (``O2(b, v=0)``, ``O(1D)``) are solved-for
+        species (reference types.rs: background matches canonical name)."""
+        if self.base == "O":
+            return self.elec in ("X", "3P")
+        return self.elec == "X" and self.v == 0
+
     def __str__(self) -> str:  # pragma: no cover - convenience
         return self.name
 

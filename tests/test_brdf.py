@@ -99,10 +99,11 @@ def test_modis_engine_wf():
 
     base = engine.calculate_radiance(make_atmo(0.15))
     analytic = base["wf_surface_volumetric"].to_numpy()[0, 0, 0]
-    h = 1e-4
+    # radiance is nearly linear in the kernel weight, so a large step
+    # suppresses the ~1e-11 absolute roundoff noise of each solve without
+    # incurring truncation error (probed: error 8e-7 at h=4e-3)
+    h = 4e-3
     up = engine.calculate_radiance(make_atmo(0.15 + h))["radiance"].to_numpy()
     dn = engine.calculate_radiance(make_atmo(0.15 - h))["radiance"].to_numpy()
     numeric = (up - dn)[0, 0, 0] / (2 * h)
-    # central-difference truncation/roundoff in f64 leaves ~1e-5 relative
-    # noise in the numeric probe itself
-    np.testing.assert_allclose(analytic, numeric, rtol=1e-4)
+    np.testing.assert_allclose(analytic, numeric, rtol=1e-5)

@@ -69,7 +69,7 @@ def test_dataset_arithmetic():
 
 def test_photolysis_rate():
     from sasktran2_tpu.photchem import (
-        calculate_photolysis_rate,
+        integrate_photolysis_rate,
         irradiance_to_photon_flux,
     )
 
@@ -77,7 +77,7 @@ def test_photolysis_rate():
     xs = np.full(101, 1e-23)
     qy = np.ones(101)
     flux = irradiance_to_photon_flux(wl, np.full(101, 0.1))
-    j = calculate_photolysis_rate(wl, xs, qy, flux)
+    j = integrate_photolysis_rate(wl, xs, qy, flux)
     # order of magnitude: 1e-23 m^2 * ~1e17 photons/(m^2 s nm) * 100 nm
     assert 1e-5 < j < 1e-2
 
