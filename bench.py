@@ -20,7 +20,15 @@ import time
 import numpy as np
 
 
-def _build(nstr, W, P=100, L=40, dtype=None):
+def _build(nstr, W, P=100, L=40, chunk=None, dtype=None):
+    """Jitted fn computing radiance + full per-wavelength Jacobians.
+
+    ``chunk`` bounds peak HBM: the wavelength batch is processed in
+    sequential ``lax.map`` slices of that size, and the per-wavelength
+    solve is wrapped in ``jax.checkpoint`` so the VJP recomputes the
+    forward instead of storing every cyclic-reduction intermediate
+    (round-1 lesson: the unchunked 16-stream case OOM'd a 16 GB v5e).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -57,18 +65,19 @@ def _build(nstr, W, P=100, L=40, dtype=None):
         "albedo": jnp.asarray(albedo, dtype=dtype),
     }
 
-    def per_wavelength(inp):
-        def rad_fn(x):
-            return disco.solve_plane_parallel(
-                x["dtau"][None],
-                x["omega"][None],
-                x["beta"][None],
-                x["albedo"][None],
-                tables,
-                user_up,
-                user_azi,
-            )[0]
+    @jax.checkpoint
+    def rad_fn(x):
+        return disco.solve_plane_parallel(
+            x["dtau"][None],
+            x["omega"][None],
+            x["beta"][None],
+            x["albedo"][None],
+            tables,
+            user_up,
+            user_azi,
+        )[0]
 
+    def per_wavelength(inp):
         rad, vjp = jax.vjp(rad_fn, inp)
         seeds = jnp.eye(rad.shape[0], dtype=rad.dtype)
         grads = jax.vmap(vjp)(seeds)[0]
@@ -76,9 +85,25 @@ def _build(nstr, W, P=100, L=40, dtype=None):
 
     vm = jax.vmap(per_wavelength)
 
+    if chunk is not None and chunk < W:
+        if W % chunk:
+            msg = f"W={W} not divisible by chunk={chunk}"
+            raise ValueError(msg)
+
+        def core(inp):
+            resh = jax.tree_util.tree_map(
+                lambda a: a.reshape((W // chunk, chunk) + a.shape[1:]), inp
+            )
+            out = jax.lax.map(vm, resh)
+            return jax.tree_util.tree_map(
+                lambda a: a.reshape((W,) + a.shape[2:]), out
+            )
+    else:
+        core = vm
+
     def with_precision(inp):
         with jax.default_matmul_precision("highest"):
-            return vm(inp)
+            return core(inp)
 
     fn = jax.jit(with_precision)
     return fn, inputs
@@ -117,27 +142,44 @@ def _time_solves(fn, inputs, repeats=5):
     return times[len(times) // 2]
 
 
+def _run_case(nstr, W, chunk=None):
+    """Build + time one case; never raises (returns None on failure so one
+    OOM can't zero the whole bench)."""
+    import traceback
+
+    try:
+        fn, inputs = _build(nstr, W, chunk=chunk)
+        dt = _time_solves(fn, inputs)
+        return W / dt
+    except Exception:
+        traceback.print_exc()
+        return None
+
+
 def main():
     W = 4096
-    fn2, in2 = _build(2, W)
-    dt2 = _time_solves(fn2, in2)
-    solves2 = W / dt2
+    solves2 = _run_case(2, W)
+    if solves2 is None:  # retry chunked at reduced batch
+        W = 2048
+        solves2 = _run_case(2, W, chunk=512)
 
     W16 = 1024
-    fn16, in16 = _build(16, W16)
-    dt16 = _time_solves(fn16, in16)
-    solves16 = W16 / dt16
+    solves16 = _run_case(16, W16, chunk=128)
 
     baseline_2str = 17.0  # ref CPU thread, 100 lyr, 2 str, with Jacobians
     print(
         json.dumps(
             {
                 "metric": "wavelength-solves/sec/chip (100 layers, 2 streams, Jacobians)",
-                "value": round(solves2, 1),
+                "value": round(solves2, 1) if solves2 else 0.0,
                 "unit": "solves/s",
-                "vs_baseline": round(solves2 / baseline_2str, 2),
+                "vs_baseline": (
+                    round(solves2 / baseline_2str, 2) if solves2 else 0.0
+                ),
                 "extra": {
-                    "solves_per_sec_16stream_jac": round(solves16, 1),
+                    "solves_per_sec_16stream_jac": (
+                        round(solves16, 1) if solves16 else None
+                    ),
                     "batch_2str": W,
                     "batch_16str": W16,
                 },

@@ -1,3 +1,8 @@
+from . import mipas
 from .us76 import add_us76_standard_atmosphere, us76_pressure_temperature
 
-__all__ = ["add_us76_standard_atmosphere", "us76_pressure_temperature"]
+__all__ = [
+    "add_us76_standard_atmosphere",
+    "mipas",
+    "us76_pressure_temperature",
+]
