@@ -161,6 +161,8 @@ class Engine:
                 geometry.altitudes(), geometry.earth_radius_m,
                 geometry.cos_sza, nleg,
                 n_mu=n_inc, n_phi=n_inc,
+                refractive_index=geometry.refractive_index,
+                ms_refraction=config.multiple_scatter_refraction,
             )
             self._so_obs_tables = successive.observer_source_tables(
                 self._traced, self._so_geom
@@ -590,6 +592,15 @@ class Engine:
                 core["leg_a3"][None], core["leg_b1"][None],
             )
             dtau, omega, (a1, a2, a3, b1) = self._layer_optical(ext, ssa, legs)
+            thermal_kw = {}
+            if cfg.emission_source in (
+                EmissionSource.DiscreteOrdinates, EmissionSource.TwoStream,
+            ):
+                thermal_kw = {
+                    "thermal_b0": emis[..., 1:][..., ::-1],
+                    "thermal_b1_bottom": emis[..., :-1][..., ::-1],
+                    "surface_emission": surf_em[None],
+                }
             chapman = self._chapman_factors(ext.dtype)
             for idx, tables, user_up, user_azi in self._do_groups:
                 r = disco_vec.solve_plane_parallel_vector(
@@ -598,6 +609,7 @@ class Engine:
                     include_ss=self._do_include_ss,
                     chapman=chapman.get(tables.mu0),
                     f0=f0,
+                    **thermal_kw,
                 )[0]
                 rad = rad.at[jnp.asarray(idx)].add(r)
 
@@ -615,6 +627,7 @@ class Engine:
                             chapman=chapman.get(tables.mu0),
                             return_internal=True,
                             f0=f0,
+                            **thermal_kw,
                         )
                         ji, jo = do_source_mod.ms_source_along_rays_vec(
                             internal, self._traced, self._ray_ms_tables,
@@ -680,7 +693,7 @@ class Engine:
         else:
             dtau, omega, beta = self._layer_optical(ext, ssa, leg)
         thermal_kw = {}
-        if emission_do and not polarized:
+        if emission_do:
             thermal_kw = {
                 "thermal_b0": emis[..., 1:][..., ::-1],
                 "thermal_b1_bottom": emis[..., :-1][..., ::-1],
@@ -707,6 +720,7 @@ class Engine:
                     return_internal=True,
                     f0=f0,
                     num_azimuth=1,
+                    **thermal_kw,
                 )
                 lv = {
                     k: v[..., 0::3] for k, v in internal["levels"].items()
@@ -754,7 +768,7 @@ class Engine:
             # consistent definition (validated against dF_net/dz).
             kabs_b = (ext * (1.0 - ssa))[..., ::-1][0]  # TOA-first levels
             f_div = kabs_b * f_act
-            if emission_do and not polarized:
+            if emission_do:
                 f_div = f_div - 4.0 * jnp.pi * kabs_b * emis[..., ::-1][0]
             interp_j = jnp.asarray(interp, dtype=ext.dtype)
             per_type = {

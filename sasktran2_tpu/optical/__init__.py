@@ -9,14 +9,30 @@ from .henyey import HenyeyGreenstein
 from .line_absorber import LineAbsorber, LineCatalogue, load_hitran_par
 from .lineshape import voigt_profile, wofz
 from .mie import MieOutput, compute_mie, mie_amplitudes, mie_efficiencies
+from .named import (
+    HITRANUV,
+    HITRANCollision,
+    HITRANTabulated,
+    NO2Vandaele,
+    O3BirkWagner,
+    O3DBM,
+    O3Serdyuchenko,
+)
 from .rayleigh import rayleigh_cross_section_bates
 from .tabulated import TabulatedCrossSectionAbsorber
 
 __all__ = [
+    "HITRANCollision",
+    "HITRANTabulated",
+    "HITRANUV",
     "HenyeyGreenstein",
     "LineAbsorber",
     "LineCatalogue",
     "MieOutput",
+    "NO2Vandaele",
+    "O3BirkWagner",
+    "O3DBM",
+    "O3Serdyuchenko",
     "OpticalProperty",
     "TabulatedCrossSectionAbsorber",
     "compute_mie",

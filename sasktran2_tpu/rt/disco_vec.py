@@ -211,8 +211,18 @@ def solve_plane_parallel_vector(
     num_azimuth: int | None = None,
     f0=None,
     return_internal: bool = False,
+    thermal_b0=None,
+    thermal_b1_bottom=None,
+    surface_emission=None,
 ):
     """Polarized DO solve. Greek coefficient arrays a1/a2/a3/b1: [..., P, L].
+
+    ``thermal_b0``/``thermal_b1_bottom`` [..., P] are the Planck emission at
+    each layer's top/bottom (TOA-first) for the exponential-in-OD thermal
+    source — unpolarized (I-only), m=0, exactly the scalar convention
+    (reference ``sktran_do_rte.cpp:1345`` polarized instantiation emits into
+    the I stokes slot only). ``surface_emission`` [...] is the ground Planck
+    emission reflected as (1-albedo)*B into I.
 
     Returns radiance [..., U, 3] (I, Q, U) sun-normalized; with
     ``return_internal`` also a dict of per-mode level stream fields and the
@@ -256,11 +266,34 @@ def solve_plane_parallel_vector(
     bgreek = _greek_matrices(a1, a2, a3, b1)
     omega_c = jnp.minimum(omega, SSA_CEILING)
 
+    if thermal_b0 is not None:
+        # exponential-in-OD emission B(t) = b0 e^{-b1 t} (same fit as the
+        # scalar solver; reference sktran_do_layerarray.cpp:342)
+        both_pos = (thermal_b0 > 0.0) & (thermal_b1_bottom > 0.0)
+        tb1 = jnp.where(
+            both_pos,
+            jnp.log(
+                jnp.maximum(thermal_b0, 1e-300)
+                / jnp.maximum(thermal_b1_bottom, 1e-300)
+            )
+            / jnp.maximum(dtau, 1e-30),
+            jnp.zeros_like(dtau),
+        )
+        tb0 = jnp.where(
+            both_pos, thermal_b0, 0.5 * (thermal_b0 + thermal_b1_bottom)
+        )
+        thermal = (tb0, tb1, surface_emission
+                   if surface_emission is not None
+                   else jnp.zeros_like(albedo))
+    else:
+        thermal = None
+
     def run_mode(m_idx, pi_m, d0_sun_m, pi_user_m, parity_m):
         return _solve_one_mode_vec(
             m_idx, pi_m, d0_sun_m, pi_user_m, parity_m,
             dtau, omega_c, bgreek, t_top, sbar, t_ground,
             albedo, mu, w, mu0, user_mu, user_up_j, include_ss, f0,
+            thermal,
         )
 
     rad_modes, levels = jax.vmap(run_mode, in_axes=(0, 0, 0, 0, 0))(
@@ -288,6 +321,7 @@ def solve_plane_parallel_vector(
             "w_quad": w,
             "mu0": mu0,
             "f0": f0,
+            "thermal": thermal,
         }
         return radiance, internal
     return radiance
@@ -297,6 +331,7 @@ def _solve_one_mode_vec(
     m_idx, pi, d0_sun, pi_user, parity,
     dtau, omega, bgreek, t_top, sbar, t_ground,
     albedo, mu, w, mu0, user_mu, user_up, include_ss, f0,
+    thermal=None,
 ):
     N = pi.shape[1]
     K = N * NS
@@ -308,15 +343,38 @@ def _solve_one_mode_vec(
 
     is_m0 = jnp.where(m_idx == 0, 1.0, 0.0)
 
+    # sources: (c_minus*amp, c_plus*amp, amp, decay, kind) — amp folded into
+    # the coefficients for _particular_boundary (it multiplies linearly)
     amp_beam = t_top * f0[..., None]
     qp, qm = _beam_sources_vec(omega, bgreek, pi, d0_sun, parity, m_idx)
     c_minus, c_plus = _greens_coefficients(k, x, y, qp, qm, w_f)
-    phi_mb, phi_pt = _particular_boundary(
-        k, c_minus * amp_beam[..., None], c_plus * amp_beam[..., None],
-        jnp.ones_like(t_top), sbar, dtau,
-    )
-    # NOTE: amp folded into the coefficients; _particular_boundary's "t_top"
-    # argument is then 1 (it only multiplies linearly).
+    sources = [(
+        c_minus * amp_beam[..., None], c_plus * amp_beam[..., None],
+        amp_beam, sbar, "beam",
+    )]
+
+    if thermal is not None:
+        # unpolarized isotropic thermal source: (1-omega) B on the I slots
+        # only; D e1 = e1 so Q~+ = Q~- in the transformed frame too
+        b0, tb1, _surf_em = thermal
+        e1_pattern = jnp.zeros((K,)).at[0::NS].set(1.0)
+        q_th = (
+            is_m0 * (1.0 - omega)[..., None] * e1_pattern
+        )
+        c_minus_th, c_plus_th = _greens_coefficients(k, x, y, q_th, q_th, w_f)
+        sources.append((
+            c_minus_th * b0[..., None], c_plus_th * b0[..., None],
+            b0, tb1, "thermal",
+        ))
+
+    phi_mb = 0.0
+    phi_pt = 0.0
+    for c_m_amp, c_p_amp, _amp, decay, _kind in sources:
+        mb, pt = _particular_boundary(
+            k, c_m_amp, c_p_amp, jnp.ones_like(t_top), decay, dtau
+        )
+        phi_mb = phi_mb + mb
+        phi_pt = phi_pt + pt
 
     # Lambertian ground: reflects the I component only
     e1mask = jnp.zeros((K,)).at[0::NS].set(1.0)
@@ -328,18 +386,21 @@ def _solve_one_mode_vec(
     )
     refl = jnp.broadcast_to(refl, albedo.shape + (K, K))
     ground_sun = is_m0 * albedo * mu0 * t_ground * f0 / jnp.pi
-    ground_direct = ground_sun[..., None] * e1mask
+    ground_thermal = (
+        is_m0 * (1.0 - albedo) * thermal[2] if thermal is not None else 0.0
+    )
+    ground_direct = (ground_sun + ground_thermal)[..., None] * e1mask
 
     coeff_l, coeff_m, _ = _bvp_blocks(
         k, x, y, dtau, phi_mb, phi_pt, refl, ground_direct
     )
 
     rad = _postprocess_mode_vec(
-        k, x, y, coeff_l, coeff_m, c_minus * amp_beam[..., None],
-        c_plus * amp_beam[..., None],
-        omega, bgreek, dtau, sbar, amp_beam,
+        k, x, y, coeff_l, coeff_m, sources,
+        omega, bgreek, dtau,
         pi, pi_user, d0_sun, parity, mu, w, m_idx,
-        user_mu, user_up, albedo, ground_sun, include_ss, phi_mb,
+        user_mu, user_up, albedo, ground_sun, ground_thermal,
+        include_ss, phi_mb,
     )
 
     # Level diffuse fields (transformed frame, flattened K) at layer
@@ -374,12 +435,18 @@ def _solve_one_mode_vec(
 
 
 def _postprocess_mode_vec(
-    k, x, y, coeff_l, coeff_m, c_minus_amp, c_plus_amp,
-    omega, bgreek, dtau, sbar, amp_beam,
+    k, x, y, coeff_l, coeff_m, sources,
+    omega, bgreek, dtau,
     pi, pi_user, d0_sun, parity, mu, w, m_idx,
-    user_mu, user_up, albedo, ground_sun, include_ss, phi_mb,
+    user_mu, user_up, albedo, ground_sun, ground_thermal,
+    include_ss, phi_mb,
 ):
-    """Vector user-angle postprocessing. Returns [..., U, 3]."""
+    """Vector user-angle postprocessing. Returns [..., U, 3].
+
+    ``sources`` is the list built in ``_solve_one_mode_vec``:
+    ``(c_minus*amp, c_plus*amp, amp, decay, kind)`` with kind "beam"
+    (direct term gated by include_ss) or "thermal" (isotropic I-only
+    direct term, m=0, always included)."""
     from ..ops.linalg import ddiff2
 
     P = k.shape[-2]
@@ -429,46 +496,68 @@ def _postprocess_mode_vec(
     c = 1.0 / user_mu
     cb = c[:, None]
     du = dtau[..., None, None]
-    sbu = sbar[..., None, None]
     ku = k[..., None, :]
 
     efwd_k = ediff(jnp.zeros_like(ku), ku + cb, du) / user_mu[:, None]
     erev_k = ediff(ku, cb + jnp.zeros_like(ku), du) / user_mu[:, None]
-    efwd_s = ediff(jnp.zeros_like(sbu), sbu + cb, du) / user_mu[:, None]
-    erev_s = ediff(sbu, cb + jnp.zeros_like(sbu), du) / user_mu[:, None]
-    green_minus_up = ddiff2(
-        jnp.zeros_like(ku), sbu + cb, ku + cb, du
-    ) / user_mu[:, None]
-    green_plus_up = (
-        efwd_s - ediff(ku + sbu, sbu + cb, du) / user_mu[:, None]
-    ) / (ku + sbu)
-    green_minus_dn = ddiff2(
-        ku, cb + jnp.zeros_like(ku), sbu, du
-    ) / user_mu[:, None]
-    green_plus_dn = (
-        erev_s - ediff(sbu, ku + sbu + cb, du) / user_mu[:, None]
-    ) / (ku + sbu)
 
-    cmu = c_minus_amp[..., None, :]  # [..., P, 1, A]
-    cpu = c_plus_amp[..., None, :]
     lu = coeff_l[..., None, :]
     mu_c = coeff_m[..., None, :]
 
-    # [..., P, U, 3]
+    # homogeneous contribution [..., P, U, 3]
     s_up = jnp.sum(
-        pv_up * (lu * efwd_k + cmu * green_minus_up)[..., None, :]
-        + pu_up * (mu_c * erev_k - cpu * green_plus_up)[..., None, :],
+        pv_up * (lu * efwd_k)[..., None, :]
+        + pu_up * (mu_c * erev_k)[..., None, :],
         axis=-1,
     )
     s_dn = jnp.sum(
-        pv_dn * (lu * erev_k + cmu * green_minus_dn)[..., None, :]
-        + pu_dn * (mu_c * efwd_k - cpu * green_plus_dn)[..., None, :],
+        pv_dn * (lu * erev_k)[..., None, :]
+        + pu_dn * (mu_c * efwd_k)[..., None, :],
         axis=-1,
     )
-    if include_ss:
-        amp_u = amp_beam[..., None, None]
-        s_up = s_up + beam_up * (amp_u * efwd_s[..., 0:1])
-        s_dn = s_dn + beam_dn * (amp_u * erev_s[..., 0:1])
+
+    is_m0 = jnp.where(m_idx == 0, 1.0, 0.0)
+    for c_minus_amp, c_plus_amp, amp, decay, kind in sources:
+        sbu = decay[..., None, None]
+        efwd_s = ediff(jnp.zeros_like(sbu), sbu + cb, du) / user_mu[:, None]
+        erev_s = ediff(sbu, cb + jnp.zeros_like(sbu), du) / user_mu[:, None]
+        green_minus_up = ddiff2(
+            jnp.zeros_like(ku), sbu + cb, ku + cb, du
+        ) / user_mu[:, None]
+        green_plus_up = (
+            efwd_s - ediff(ku + sbu, sbu + cb, du) / user_mu[:, None]
+        ) / (ku + sbu)
+        green_minus_dn = ddiff2(
+            ku, cb + jnp.zeros_like(ku), sbu, du
+        ) / user_mu[:, None]
+        green_plus_dn = (
+            erev_s - ediff(sbu, ku + sbu + cb, du) / user_mu[:, None]
+        ) / (ku + sbu)
+
+        cmu = c_minus_amp[..., None, :]  # [..., P, 1, A]
+        cpu = c_plus_amp[..., None, :]
+        s_up = s_up + jnp.sum(
+            pv_up * (cmu * green_minus_up)[..., None, :]
+            - pu_up * (cpu * green_plus_up)[..., None, :],
+            axis=-1,
+        )
+        s_dn = s_dn + jnp.sum(
+            pv_dn * (cmu * green_minus_dn)[..., None, :]
+            - pu_dn * (cpu * green_plus_dn)[..., None, :],
+            axis=-1,
+        )
+        if kind == "beam":
+            if include_ss:
+                amp_u = amp[..., None, None]
+                s_up = s_up + beam_up * (amp_u * efwd_s[..., 0:1])
+                s_dn = s_dn + beam_dn * (amp_u * erev_s[..., 0:1])
+        else:  # thermal: isotropic I-only direct source, m=0
+            one_minus_om = (1.0 - omega)[..., None]
+            amp_d = amp[..., None]
+            th_up = is_m0 * one_minus_om * amp_d * efwd_s[..., 0]
+            th_dn = is_m0 * one_minus_om * amp_d * erev_s[..., 0]
+            s_up = s_up.at[..., 0].add(th_up)
+            s_dn = s_dn.at[..., 0].add(th_dn)
 
     od_user = dtau[..., :, None] * c
     cum_above = jnp.cumsum(od_user, axis=-2) - od_user
@@ -487,11 +576,15 @@ def _postprocess_mode_vec(
                      phi_mb[..., P - 1, :])
     )  # [..., K] transformed downwelling at ground
     i_minus_I = i_minus_ground_f[..., 0::NS]  # I components (D leaves I alone)
-    is_m0 = jnp.where(m_idx == 0, 1.0, 0.0)
     ground_scalar = 2.0 * is_m0 * albedo * jnp.einsum(
         "...j,j->...", i_minus_I, w * mu
     )
-    ground_up_I = ground_scalar + (ground_sun if include_ss else 0.0)
+    # sun reflection gated by include_ss; surface thermal emission ungated
+    ground_up_I = (
+        ground_scalar
+        + (ground_sun if include_ss else 0.0)
+        + ground_thermal
+    )
     total_od_user = jnp.sum(od_user, axis=-2)
     ground_vec = jnp.zeros(rad_up.shape[:-2] + (U, NS), dtype=rad_up.dtype)
     ground_vec = ground_vec.at[..., 0].set(

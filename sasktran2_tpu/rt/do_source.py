@@ -241,6 +241,15 @@ def ms_source_along_rays_vec(
         out_i = jnp.einsum("mbrs,mrs->brs", j_i, cos_pts)
         out_q = jnp.einsum("mbrs,mrs->brs", j_q, cos_pts)
         out_u = jnp.einsum("mbrs,mrs->brs", j_u, sin_pts)
+        thermal = internal.get("thermal")
+        if thermal is not None:
+            # isotropic I-only direct thermal source (1 - omega) B(t), m=0
+            b0, b1, _ = thermal
+            b0_seg = b0[:, seg_layer]
+            b1_seg = b1[:, seg_layer]
+            out_i = out_i + (1.0 - om_seg) * b0_seg * jnp.exp(
+                -b1_seg * dtau_seg * frac
+            )
         return jnp.stack([out_i, out_q, out_u], axis=-1)
 
     return endpoint_source(f_in, 0), endpoint_source(f_out, 1)

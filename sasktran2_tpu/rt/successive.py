@@ -82,10 +82,18 @@ def build_so_geometry(
     nleg: int,
     n_mu: int = 8,
     n_phi: int = 8,
+    refractive_index=None,
+    ms_refraction: bool = False,
 ) -> SOGeometry:
     alts = np.asarray(altitude_grid_m, dtype=np.float64)
     radii = earth_radius_m + alts
     A = len(alts)
+
+    integ = None
+    if ms_refraction:
+        from .refraction import RefractiveShellIntegrator
+
+        integ = RefractiveShellIntegrator(radii, refractive_index)
     mu_d, phi_d, w_d = _direction_grid(n_mu, n_phi)
     D = len(mu_d)
 
@@ -142,6 +150,56 @@ def build_so_geometry(
             ri = vi * D + di
             mu = mu_d[di]
             phi = phi_d[di]
+            if integ is not None:
+                path = _upstream_path_refracted(r0, mu, radii, integ)
+                blist_r = path["bounds"]
+                czs_r = path["cz"]
+                phis_e = path["phi_e"]
+                nseg_r = len(blist_r) - 1
+                ground_hit[ri] = path["ground"]
+                sun_vec_r = sun_vec_local(phi, cos_sza)
+                for s in range(nseg_r):
+                    jlev = path["jlev"][s]
+                    seg_idx[ri, s] = (jlev, jlev + 1)
+                    seg_w[ri, s] = (path["w_lo"][s], path["w_hi"][s])
+                    seg_mask[ri, s] = 1.0
+                    for ei in (0, 1):
+                        rr = blist_r[s + ei]
+                        jl = int(np.clip(
+                            np.searchsorted(radii, rr) - 1, 0, A - 2
+                        ))
+                        fl = np.clip(
+                            (rr - radii[jl]) / (radii[jl + 1] - radii[jl]),
+                            0.0, 1.0,
+                        )
+                        src_level_idx[ri, s, ei] = (jl, jl + 1)
+                        src_level_w[ri, s, ei] = (1 - fl, fl)
+                        idx4, w4 = dir_interp(czs_r[s + ei], phi)
+                        src_dir_idx[ri, s, ei] = idx4
+                        src_dir_w[ri, s, ei] = w4
+                for b in range(nseg_r + 1):
+                    rr = blist_r[b]
+                    cz = czs_r[b]
+                    cs, relazi = _solar_at_plane_point(
+                        phis_e[b], cz, sun_vec_r
+                    )
+                    sun_w[ri, b] = integ.sun_od_weights(
+                        rr, cs, earth_radius_m
+                    )
+                    szn = np.sqrt(max(1.0 - cz * cz, 0.0))
+                    sss = np.sqrt(max(1.0 - cs * cs, 0.0))
+                    cos_scat[ri, b] = -cz * cs - szn * sss * np.cos(relazi)
+                    jl = int(np.clip(
+                        np.searchsorted(radii, rr) - 1, 0, A - 2
+                    ))
+                    fl = np.clip(
+                        (rr - radii[jl]) / (radii[jl + 1] - radii[jl]),
+                        0.0, 1.0,
+                    )
+                    interp_w[ri, b, jl] = 1 - fl
+                    interp_w[ri, b, jl + 1] = fl
+                g_cs[ri] = cos_sza if path["ground"] else 0.0
+                continue
             # incoming ray: photons travel along (mu, phi) ARRIVING at the
             # point; trace backwards (upstream) to the far end.
             # Upstream direction has cosine -mu. The ray's tangent radius:
@@ -226,6 +284,110 @@ def _azimuth_at_point(sdist, r_ref, coszen_ref, phi_ref):
     plane approximation; for the 1D model we keep phi constant (the
     reference's diffuse-point model makes the same 1D assumption)."""
     return phi_ref
+
+
+def _solar_at_plane_point(phi_e, cz_loc, sun_vec):
+    """(cos_sza, relazi) at a point of the ray plane at earth angle
+    ``phi_e`` from the reference point (positive along the propagation
+    azimuth) where the propagation direction has local zenith cosine
+    ``cz_loc``. Mirrors ``raytrace._solar_at_point`` with the position
+    supplied as an angle instead of a straight-line distance (refracted
+    rays bend, but stay in their plane by spherical symmetry)."""
+    r_hat = np.array([np.sin(phi_e), 0.0, np.cos(phi_e)])
+    t_hat = np.array([np.cos(phi_e), 0.0, -np.sin(phi_e)])
+    sz = np.sqrt(max(1.0 - cz_loc * cz_loc, 0.0))
+    p_hat = sz * t_hat + cz_loc * r_hat
+    cs = float(np.dot(sun_vec, r_hat))
+    ss = np.sqrt(max(1.0 - cs * cs, 0.0))
+    if sz * ss < 1e-12:
+        return cs, 0.0
+    h_hat = (p_hat - cz_loc * r_hat) / sz
+    y_hat = np.cross(r_hat, h_hat)
+    relazi = float(
+        np.arctan2(np.dot(sun_vec, y_hat), np.dot(sun_vec, h_hat))
+    )
+    return cs, relazi
+
+
+def _upstream_path_refracted(r0, mu, radii, integ):
+    """Curved upstream path of a photon ARRIVING at radius r0 with
+    propagation cosine mu (+up), traced with refraction (Bouguer invariant
+    n r sin z = const; reference traces HR incoming rays with the refracted
+    tracer when ``multiple_scatter_refraction`` is set,
+    ``diffuse_table.cpp:250``).
+
+    Returns dict with far-first arrays: ``bounds`` radii, ``cz`` signed
+    local propagation cosines, ``phi_e`` earth angles relative to the point
+    (non-positive upstream), per-segment shell index ``jlev`` and exact
+    linear-in-radius OD weights ``(w_lo, w_hi)``, and ``ground``.
+    """
+    A = len(radii)
+    eps = 1e-6
+    sinz = np.sqrt(max(1.0 - mu * mu, 0.0))
+    invariant = integ.n_at(r0) * r0 * sinz
+    rt = integ.tangent_radius(invariant)
+    nt = integ.n_at(rt)
+
+    def cz_at(rr, sign):
+        s = min(invariant / (integ.n_at(rr) * rr), 1.0)
+        return sign * np.sqrt(max(1.0 - s * s, 0.0))
+
+    # Backward traversal from the point: (radius, cz sign) lists
+    bounds = [r0]
+    signs = [1.0 if mu > 0.0 else -1.0]
+    ground = False
+    if mu <= 0.0:
+        # photon descends; upstream ascends to TOA (cz < 0 throughout)
+        for j in range(A):
+            if radii[j] > r0 + eps:
+                bounds.append(radii[j])
+                signs.append(-1.0)
+    else:
+        ground = rt <= radii[0] + eps
+        for j in range(A - 1, -1, -1):
+            if radii[j] < r0 - eps and radii[j] > rt + eps:
+                bounds.append(radii[j])
+                signs.append(1.0)
+        if ground:
+            if not np.isclose(bounds[-1], radii[0]):
+                bounds.append(radii[0])
+                signs.append(1.0)
+        else:
+            # tangent pass: descend to rt then (backwards) out to TOA
+            bounds.append(rt)
+            signs.append(0.0)
+            for j in range(A):
+                if radii[j] > rt + eps:
+                    bounds.append(radii[j])
+                    signs.append(-1.0)
+
+    # per-gap curved integrals (backward traversal -> negative phi/arc)
+    n_b = len(bounds)
+    phi_e = [0.0]
+    jlevs, wlos, whis = [], [], []
+    for i in range(n_b - 1):
+        ra, rb = bounds[i], bounds[i + 1]
+        rm = 0.5 * (ra + rb)
+        jlev = int(np.clip(np.searchsorted(radii, rm) - 1, 0, A - 2))
+        _, w_lo, w_hi, dphi = integ.shell_integral(
+            rt, nt, ra, rb, radii[jlev], radii[jlev + 1]
+        )
+        jlevs.append(jlev)
+        wlos.append(w_lo)
+        whis.append(w_hi)
+        phi_e.append(phi_e[-1] - dphi)
+
+    czs = [cz_at(rr, sg) for rr, sg in zip(bounds, signs)]
+    # reverse to far-first (matching the straight builder's convention)
+    return {
+        "bounds": bounds[::-1],
+        "cz": czs[::-1],
+        "phi_e": phi_e[::-1],
+        "jlev": jlevs[::-1],
+        "w_lo": wlos[::-1],
+        "w_hi": whis[::-1],
+        "ground": ground,
+    }
 
 
 def _upstream_segments(r0, mu, radii, rt):

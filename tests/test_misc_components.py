@@ -90,3 +90,52 @@ def test_database_offline():
     db = WebDatabase("https://example.invalid/data.nc", "testdb")
     with _pytest.raises(FileNotFoundError):
         db.fetch("missing.nc")
+
+
+def test_solar_model_modes_and_source(tmp_path, monkeypatch):
+    """SolarModel: sample/average/integrate modes, solar-distance scaling,
+    and cached-source loading (HSRS analog; reference solar/model.py)."""
+    from sasktran2_tpu.solar import SolarModel
+
+    wl = np.linspace(300.0, 700.0, 401)
+    irr = 1.0 + 0.5 * np.sin(wl / 20.0)
+
+    m = SolarModel(wl, irr)
+    np.testing.assert_allclose(
+        m.irradiance(np.array([400.0])), 1.0 + 0.5 * np.sin(20.0),
+        rtol=1e-6,
+    )
+    # solar distance scaling: 1/d^2
+    np.testing.assert_allclose(
+        m.irradiance(np.array([400.0]), solardistance=2.0),
+        m.irradiance(np.array([400.0])) / 4.0,
+    )
+    # average over a flat region equals the sample; integrate = avg * width
+    flat = SolarModel(wl, np.full_like(wl, 2.0), mode="average",
+                      resolution_nm=10.0)
+    np.testing.assert_allclose(flat.irradiance(np.array([500.0])), 2.0,
+                               rtol=1e-12)
+    integ = SolarModel(wl, np.full_like(wl, 2.0), mode="integrate",
+                       resolution_nm=10.0)
+    np.testing.assert_allclose(integ.irradiance(np.array([500.0])), 20.0,
+                               rtol=1e-12)
+
+    # cached source file (npz analog of the HSRS netCDF)
+    monkeypatch.setenv("SASKTRAN2_TPU_DB_ROOT", str(tmp_path))
+    sdir = tmp_path / "solar"
+    sdir.mkdir(parents=True)
+    np.savez(sdir / "solar_irradiance_hsrs_2022_11_30_extended.npz",
+             coord_wavelength=wl, irradiance=irr,
+             dims_irradiance=np.array(["wavelength"]))
+    from sasktran2_tpu.solar.model import HSRS_2022
+
+    m2 = SolarModel(source=HSRS_2022)
+    np.testing.assert_allclose(
+        m2.irradiance(np.array([400.0])),
+        m.irradiance(np.array([400.0])),
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="missing_source"):
+        SolarModel(source="missing_source")

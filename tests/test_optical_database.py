@@ -223,3 +223,47 @@ def test_database_absorber_pt_wf_fd():
         - run(-h)["radiance"].to_numpy()[0, 0, 0]
     ) / (2 * h)
     np.testing.assert_allclose(wf[5], fd, rtol=1e-3)
+
+
+def test_named_absorbers_resolve_local_cache(tmp_path, monkeypatch):
+    """Named standard absorbers (O3DBM, NO2Vandaele, ...) resolve their
+    file from the local database cache; a clear error names the expected
+    path when data is missing (zero-egress analog of the reference's
+    StandardDatabase download)."""
+    import pytest as _pytest
+
+    monkeypatch.setenv("SASKTRAN2_TPU_DB_ROOT", str(tmp_path))
+    from sasktran2_tpu.optical import O3DBM, NO2Vandaele
+
+    with _pytest.raises(FileNotFoundError, match="o3/dbm.nc"):
+        O3DBM()
+
+    # place an .npz equivalent in the cache and load through the class
+    d = tmp_path / "cross_sections" / "o3"
+    d.mkdir(parents=True)
+    wl = np.linspace(200.0, 800.0, 31)
+    t = np.array([220.0, 280.0])
+    xs = 1e-24 * np.exp(-((wl - 255.0) / 40.0) ** 2)[None, :] * np.array(
+        [[1.1], [0.9]]
+    )
+    np.savez(
+        d / "dbm.npz",
+        coord_wavelength_nm=wl,
+        coord_temperature_k=t,
+        dims_xs=np.array(["temperature_k", "wavelength_nm"]),
+        xs=xs,
+    )
+    db = O3DBM()
+    out = db.cross_sections(
+        np.array([260.0, 500.0]),  # on-grid wavelength
+        altitudes_m=np.array([0.0, 1e4]),
+        temperature_k=np.array([280.0, 220.0]),
+        pressure_pa=np.array([1e5, 2e4]),
+    )
+    assert out.shape == (2, 2)
+    base = 1e-24 * np.exp(-((260.0 - 255.0) / 40.0) ** 2)
+    np.testing.assert_allclose(out[0, 0], 0.9 * base, rtol=1e-12)
+    np.testing.assert_allclose(out[1, 0], 1.1 * base, rtol=1e-12)
+
+    with _pytest.raises(FileNotFoundError, match="no2/vandaele.nc"):
+        NO2Vandaele()

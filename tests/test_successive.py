@@ -132,3 +132,49 @@ def test_so_do_initialization():
     err_cold = abs(cold2 - converged)
     err_warm = abs(warm2 - converged)
     assert err_warm < 0.25 * err_cold
+
+
+def test_so_multiple_scatter_refraction():
+    """multiple_scatter_refraction: with n=1 the refracted SO geometry must
+    reproduce the straight tracer (exact linear-in-radius quadrature vs
+    midpoint split: sub-0.1%); with a realistic refractive profile the
+    radiance shifts by a small, nonzero amount (reference traces HR
+    incoming rays refracted, diffuse_table.cpp:250)."""
+    alts = np.linspace(0, 60000, 16)
+
+    def run(ms_refraction, with_index):
+        n_index = None
+        if with_index:
+            # Ciddor-like exponential profile, n-1 ~ 2.8e-4 at the ground
+            n_index = 1.0 + 2.8e-4 * np.exp(-alts / 8000.0)
+        geometry = sk.Geometry1D(
+            cos_sza=0.7, solar_azimuth=0.0, earth_radius_m=6372000.0,
+            altitude_grid_m=alts,
+            geometry_type=sk.GeometryType.Spherical,
+        )
+        if n_index is not None:
+            geometry.refractive_index = n_index
+        viewing = sk.ViewingGeometry()
+        viewing.add_ray(sk.GroundViewingSolar(0.7, 0.4, 0.3, 200000.0))
+        c = sk.Config(
+            num_streams=8,
+            multiple_scatter_source=sk.MultipleScatterSource.SuccessiveOrders,
+            single_scatter_source=sk.SingleScatterSource.Exact,
+            num_singlescatter_moments=4,
+            num_successive_orders_iterations=20,
+            num_successive_orders_incoming=100,
+            multiple_scatter_refraction=ms_refraction,
+        )
+        e = sk.Engine(c, geometry, viewing)
+        a = default_pure_scattering_atmosphere(c, geometry, ssa=0.9,
+                                               albedo=0.3)
+        return e.calculate_radiance(a)["radiance"].to_numpy()[0, 0, 0]
+
+    r_straight = run(False, False)
+    r_vacuum = run(True, False)
+    np.testing.assert_allclose(r_vacuum, r_straight, rtol=1e-3)
+
+    r_refr = run(True, True)
+    assert r_refr != r_straight
+    # refraction is a small correction, not a blow-up
+    np.testing.assert_allclose(r_refr, r_straight, rtol=2e-2)
