@@ -1,6 +1,8 @@
 from .base import Constituent
 from .brdf import MODIS, LambertianSurface, SnowKokhanovsky
 from .emission import (
+    LineListVolumeEmissionRate,
+    PopulationEmissionRate,
     SurfaceThermalEmission,
     ThermalEmission,
     VolumeEmissionRate,
@@ -28,9 +30,11 @@ __all__ = [
     "Constituent",
     "HGScatteringOptical",
     "LambertianSurface",
+    "LineListVolumeEmissionRate",
     "ManualOpticalProperties",
     "MieScatteringOptical",
     "NumberDensityScatterer",
+    "PopulationEmissionRate",
     "Rayleigh",
     "SolarIrradiance",
     "SurfaceThermalEmission",

@@ -436,6 +436,10 @@ class Engine:
             rad = rad + singlescatter.emission_radiance(
                 ext, ssa, emis, alb, surf_em[None], self._traced
             )[0]
+        if cfg.emission_source == EmissionSource.VolumeEmissionRate:
+            rad = rad + singlescatter.ver_emission_radiance(
+                ext, emis, self._traced
+            )[0]
 
         if cfg.occultation_source == OccultationSource.Standard:
             rad = rad + singlescatter.occultation_radiance(ext, self._traced)[0]
@@ -583,6 +587,12 @@ class Engine:
             rad = rad.at[:, 0].add(
                 singlescatter.emission_radiance(
                     ext, ssa, emis, alb, surf_em[None], self._traced
+                )[0]
+            )
+        if cfg.emission_source == EmissionSource.VolumeEmissionRate:
+            rad = rad.at[:, 0].add(
+                singlescatter.ver_emission_radiance(
+                    ext, emis, self._traced
                 )[0]
             )
 

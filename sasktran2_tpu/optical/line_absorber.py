@@ -42,6 +42,8 @@ class LineCatalogue:
     iso_id: np.ndarray | None = None      # HITRAN isotopologue number
     g_upper: np.ndarray | None = None     # upper statistical weight g'
     g_lower: np.ndarray | None = None     # lower statistical weight g''
+    quanta_upper: np.ndarray | None = None  # global upper quanta (str)
+    quanta_lower: np.ndarray | None = None  # global lower quanta (str)
 
 
 class LineAbsorber(OpticalProperty):
@@ -150,7 +152,7 @@ def load_hitran_par(path, molar_mass_kg_mol):
     weights g'/g'' live in columns 146:153 / 153:160 of full records and
     feed emission line weighting; short records leave them NaN."""
     nu0, s, aa, ga, gs, na, da, el = [], [], [], [], [], [], [], []
-    iso, gp, gpp = [], [], []
+    iso, gp, gpp, qup, qlo = [], [], [], [], []
     with open(path) as f:
         for line in f:
             if len(line) < 100:
@@ -164,6 +166,9 @@ def load_hitran_par(path, molar_mass_kg_mol):
             el.append(float(line[45:55]))
             na.append(float(line[55:59]))
             da.append(float(line[59:67]))
+            # global upper/lower quanta, HITRAN2004 cols 68-82 / 83-97
+            qup.append(line[67:82].strip() if len(line) >= 97 else "")
+            qlo.append(line[82:97].strip() if len(line) >= 97 else "")
             gp.append(_float_or_nan(line[146:153]) if len(line) >= 153
                       else float("nan"))
             gpp.append(_float_or_nan(line[153:160]) if len(line) >= 154
@@ -175,4 +180,6 @@ def load_hitran_par(path, molar_mass_kg_mol):
         elower=np.array(el), molar_mass=molar_mass_kg_mol,
         einstein_a=np.array(aa), iso_id=np.array(iso, dtype=np.int64),
         g_upper=np.array(gp), g_lower=np.array(gpp),
+        quanta_upper=np.array(qup, dtype=object),
+        quanta_lower=np.array(qlo, dtype=object),
     )

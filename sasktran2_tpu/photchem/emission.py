@@ -168,12 +168,15 @@ class EmissionBand:
     g_upper: np.ndarray | None = None          # [nlines] statistical weight
     iso_abundance: np.ndarray | None = None    # [nlines]
     upper_branching: np.ndarray | None = None  # [nlines] A/sum_A(level)
+    lower_energy_cminv: np.ndarray | None = None   # [nlines]
+    line_intensity: np.ndarray | None = None       # [nlines] S(296 K)
+    upper_vib_state: np.ndarray | None = None      # [nlines] state labels
 
     @staticmethod
     def from_catalogue(
         name, upper_state, lower_state, total_einstein_a_s, catalogue,
         min_wavelength_nm, max_wavelength_nm,
-        isotope_abundances=None,
+        isotope_abundances=None, line_mask=None,
     ) -> "EmissionBand":
         """Build a band from a :class:`~..optical.line_absorber.
         LineCatalogue` by selecting lines inside a wavelength window.
@@ -196,6 +199,8 @@ class EmissionBand:
             & np.isfinite(a)
             & (a > 0)
         )
+        if line_mask is not None:
+            keep = keep & np.asarray(line_mask, dtype=bool)
         if not np.any(keep):
             msg = (
                 f"No lines with Einstein-A in [{min_wavelength_nm}, "
@@ -249,10 +254,29 @@ class EmissionBand:
             msg = "Emission band line weights sum to zero"
             raise ValueError(msg)
         w = w / w.sum()
+
+        # per-line upper vibrational-state labels from the global quanta
+        # (reference emission.rs o2_vibrational_state_name); without quanta
+        # the whole band is one state group named after the band.
+        qup = getattr(catalogue, "quanta_upper", None)
+        if qup is not None:
+            labels = np.array(
+                [o2_vibrational_state_name(q) or upper_state
+                 for q in np.asarray(qup)[keep][order]],
+                dtype=object,
+            )
+        else:
+            labels = np.array([upper_state] * wl_k.size, dtype=object)
+
+        intensity = np.asarray(catalogue.intensity)[keep][order]
+        elo = np.asarray(catalogue.elower)[keep][order]
+
         return EmissionBand(
             name, upper_state, lower_state, float(total_einstein_a_s),
             wl_k, a_k, eup, w,
             g_upper=gp_k, iso_abundance=abund, upper_branching=branching,
+            lower_energy_cminv=elo, line_intensity=intensity,
+            upper_vib_state=labels,
         )
 
     def lte_weights(self, temperature_k: float) -> np.ndarray:
@@ -294,19 +318,230 @@ class EmissionBand:
         )
 
 
+def o2_vibrational_state_name(quanta: str) -> str:
+    """Map an O2 global-quanta string to a population-state name
+    (reference emission.rs ``o2_vibrational_state_name``): ``"b 0"`` ->
+    ``"O2(b)"``, ``"X 0"`` -> ``"O2(X)"``, ``"b 1"`` -> ``"O2(b, v=1)"``."""
+    tokens = str(quanta).split()
+    if len(tokens) == 2:
+        elec, vib = tokens
+        if elec == "b" and vib == "0":
+            return "O2(b)"
+        if elec == "X" and vib == "0":
+            return "O2(X)"
+        return f"O2({elec}, v={vib})"
+    return str(quanta).strip()
+
+
+def _o2_vibrational_sequence_mask(catalogue, allowed):
+    """Boolean mask of lines whose (upper, lower) global quanta match one of
+    ``allowed`` — a set of ((elec', v'), (elec'', v'')) token tuples.
+    Returns None when the catalogue has no quanta (no filtering possible)."""
+    qup = getattr(catalogue, "quanta_upper", None)
+    qlo = getattr(catalogue, "quanta_lower", None)
+    if qup is None or qlo is None:
+        return None
+    if all(not str(q).strip() for q in np.asarray(qup)):
+        return None  # catalogue carries no quanta — can't filter
+    mask = np.zeros(len(qup), dtype=bool)
+    for i, (u, lo) in enumerate(zip(np.asarray(qup), np.asarray(qlo))):
+        ut, lt = tuple(str(u).split()), tuple(str(lo).split())
+        mask[i] = (ut, lt) in allowed
+    return mask
+
+
 def oxygen_a_band_from_catalogue(catalogue) -> EmissionBand:
-    """O2 A-band (b 1Sigma v'=0 -> X v''=0, ~762 nm)."""
+    """O2 A-band (~762 nm): b->X with v'=v'' in {0, 1} when the catalogue
+    carries global quanta (reference emission.rs
+    ``line_matches_o2_a_band_vibrational_sequence``); otherwise all lines
+    in the wavelength window."""
+    mask = _o2_vibrational_sequence_mask(
+        catalogue,
+        {(("b", "0"), ("X", "0")), (("b", "1"), ("X", "1"))},
+    )
     return EmissionBand.from_catalogue(
-        "oxygen_a_band", "O2(b, v=0)", "O2(X)",
+        "oxygen_a_band", "O2(b)", "O2(X)",
         O2_A_BAND_TOTAL_EINSTEIN_A_S, catalogue,
         O2_A_BAND_MIN_WAVELENGTH_NM, O2_A_BAND_MAX_WAVELENGTH_NM,
+        line_mask=mask,
     )
 
 
 def oxygen_b_band_from_catalogue(catalogue) -> EmissionBand:
     """O2 B-band (b 1Sigma v'=1 -> X v''=0, ~689 nm)."""
+    mask = _o2_vibrational_sequence_mask(
+        catalogue, {(("b", "1"), ("X", "0"))}
+    )
     return EmissionBand.from_catalogue(
         "oxygen_b_band", "O2(b, v=1)", "O2(X)",
         O2_B1_X0_EINSTEIN_A_S, catalogue,
         O2_B_BAND_MIN_WAVELENGTH_NM, O2_B_BAND_MAX_WAVELENGTH_NM,
+        line_mask=mask,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-altitude line-weight models and population -> line-list conversion
+# (reference emission.rs oxygen_a_band_lte_line_weights,
+# line_list_weights_from_population_branches)
+
+
+def _state_groups(band: EmissionBand):
+    labels = (
+        band.upper_vib_state
+        if band.upper_vib_state is not None
+        else np.array([band.upper_state] * band.wavelength_nm.size,
+                      dtype=object)
+    )
+    groups = {}
+    for i, lab in enumerate(labels):
+        groups.setdefault(str(lab), []).append(i)
+    return {k: np.array(v) for k, v in groups.items()}
+
+
+def band_line_weights(band, temperature_k, model="einstein_a_branching"):
+    """Temperature-dependent line weights [A, nlines], normalized to 1
+    *within each upper vibrational state group* per altitude.
+
+    Models (reference ``AEmissionLineWeightModel``):
+
+    - ``einstein_a_branching``: LTE Boltzmann upper populations
+      ``abundance * g' * exp(-c2 E'/T)`` times the per-level branching
+      ratio (reference ``oxygen_a_band_einstein_branching_line_weights``).
+    - ``hitran_line_strength``: emission weight from the HITRAN absorption
+      line intensity, ``ln S + ln(296/T) + c2 E''(T-296)/(296 T)
+      + 2 ln nu - c2 nu / T`` softmax-normalized per state (reference
+      ``hitran_line_strength_emission_log_weight``).
+    """
+    t = np.atleast_1d(np.asarray(temperature_k, dtype=np.float64))
+    nl = band.wavelength_nm.size
+    weights = np.zeros((t.size, nl))
+    nu = 1.0e7 / band.wavelength_nm
+
+    for idx in _state_groups(band).values():
+        if model == "einstein_a_branching":
+            if band.g_upper is None:
+                msg = (
+                    "einstein_a_branching weights need upper statistical "
+                    "weights g' from a full 160-column HITRAN record"
+                )
+                raise ValueError(msg)
+            gp = np.where(np.isfinite(band.g_upper[idx]),
+                          band.g_upper[idx], 0.0)
+            abund = (
+                band.iso_abundance[idx]
+                if band.iso_abundance is not None else 1.0
+            )
+            branch = (
+                band.upper_branching[idx]
+                if band.upper_branching is not None else 1.0
+            )
+            eup = band.upper_energy_cminv[idx]
+            x = (
+                abund * gp * branch
+                * np.exp(-C2_CM_K * (eup - eup.min())[None, :] / t[:, None])
+            )
+        elif model == "hitran_line_strength":
+            if band.line_intensity is None or band.lower_energy_cminv is None:
+                msg = "hitran_line_strength weights need S(296) and E''"
+                raise ValueError(msg)
+            s = band.line_intensity[idx]
+            elo = band.lower_energy_cminv[idx]
+            nug = nu[idx]
+            logw = (
+                np.log(np.maximum(s, 1e-300))[None, :]
+                + np.log(296.0 / t)[:, None]
+                + C2_CM_K * elo[None, :] * (t[:, None] - 296.0)
+                / (t[:, None] * 296.0)
+                + 2.0 * np.log(nug)[None, :]
+                - C2_CM_K * nug[None, :] / t[:, None]
+            )
+            x = np.exp(logw - logw.max(axis=1, keepdims=True))
+        else:
+            msg = (
+                f"Unknown line weight model {model!r}; expected "
+                "'einstein_a_branching' or 'hitran_line_strength'"
+            )
+            raise ValueError(msg)
+        rowsum = x.sum(axis=1, keepdims=True)
+        if np.any(rowsum <= 0) or not np.all(np.isfinite(rowsum)):
+            msg = "Line weight rows must sum to a positive finite value"
+            raise ValueError(msg)
+        weights[:, idx] = x / rowsum
+    return weights
+
+
+def line_list_weights_from_populations(
+    band, temperature_k, branches, model="einstein_a_branching"
+):
+    """Combine per-state populations into a total photon VER profile and
+    per-altitude normalized line weights.
+
+    ``branches``: list of ``(state_name, population_or_None,
+    einstein_a_s)``. Each line inherits the VER of its upper vibrational
+    state (population x A_state) times its in-state weight; rows with zero
+    total VER fall back to the band's static weights. Returns
+    ``(photon_ver [A], weights [A, nlines])`` (reference emission.rs
+    ``line_list_weights_from_population_branches``).
+    """
+    t = np.atleast_1d(np.asarray(temperature_k, dtype=np.float64))
+    w_state = band_line_weights(band, t, model)  # [A, L]
+    labels = (
+        band.upper_vib_state
+        if band.upper_vib_state is not None
+        else np.array([band.upper_state] * band.wavelength_nm.size,
+                      dtype=object)
+    )
+
+    state_ver = {}
+    for name, pop, a_s in branches:
+        if pop is None:
+            continue
+        pop = np.asarray(pop, dtype=np.float64)
+        if pop.shape != t.shape:
+            msg = f"Population {name!r} shape must match temperature"
+            raise ValueError(msg)
+        state_ver[name] = pop * a_s
+
+    line_ver = np.zeros_like(w_state)
+    for i, lab in enumerate(labels):
+        sv = state_ver.get(str(lab))
+        if sv is not None:
+            line_ver[:, i] = sv * w_state[:, i]
+
+    total = line_ver.sum(axis=1)
+    fallback = band.weights / band.weights.sum()
+    combined = np.where(
+        total[:, None] > 0,
+        line_ver / np.where(total[:, None] > 0, total[:, None], 1.0),
+        fallback[None, :],
+    )
+    return total, combined
+
+
+def oxygen_a_band_line_list_weights_from_populations(
+    band, temperature_k, o2_b0, o2_b1=None, o2_b2=None,
+    model="einstein_a_branching",
+):
+    """A-band line list from O2(b, v=0/1/2) populations (reference
+    ``oxygen_a_band_line_list_weights_from_populations``)."""
+    return line_list_weights_from_populations(
+        band, temperature_k,
+        [
+            ("O2(b)", o2_b0, O2_B0_X0_EINSTEIN_A_S),
+            ("O2(b, v=1)", o2_b1, O2_B1_X1_EINSTEIN_A_S),
+            ("O2(b, v=2)", o2_b2, O2_B2_X2_EINSTEIN_A_S),
+        ],
+        model,
+    )
+
+
+def oxygen_b_band_line_list_weights_from_populations(
+    band, temperature_k, o2_b1=None, model="einstein_a_branching",
+):
+    """B-band line list from the O2(b, v=1) population."""
+    return line_list_weights_from_populations(
+        band, temperature_k,
+        [("O2(b, v=1)", o2_b1, O2_B1_X0_EINSTEIN_A_S)],
+        model,
     )

@@ -261,6 +261,33 @@ def emission_radiance(extinction, ssa, emission, albedo, surface_emission,
     return radiance + ground_term
 
 
+def ver_emission_radiance(extinction, emission, traced: TracedRays):
+    """Volume-emission-rate emission mode: the stored emission is a
+    radiance *rate per meter* and each segment contributes
+    ``length x avg(emission)`` attenuated by the optical depth of closer
+    segments — no absorption-coefficient weighting and no within-layer
+    (1 - e^-tau) factor (reference ``emission_source.cpp`` volume_emission_
+    rate branch: ``source_factor = layer.layer_distance``).
+
+    emission: [W, A]; returns [W, R].
+    """
+    odw = jnp.asarray(traced.od_weights, dtype=extinction.dtype)
+    intw = jnp.asarray(traced.interp_weights, dtype=extinction.dtype)
+    lengths = jnp.asarray(traced.lengths, dtype=extinction.dtype)
+    mask = jnp.asarray(traced.mask, dtype=extinction.dtype)
+
+    seg_od = jnp.einsum("rsa,wa->wrs", odw, extinction)
+    e_b = jnp.einsum("rba,wa->wrb", intw, emission)
+    seg_src = 0.5 * (e_b[..., :-1] + e_b[..., 1:]) * lengths * mask
+
+    od_m = seg_od * mask
+    closer = (
+        jnp.flip(jnp.cumsum(jnp.flip(od_m, axis=-1), axis=-1), axis=-1)
+        - od_m
+    )
+    return jnp.sum(seg_src * jnp.exp(-closer), axis=-1)
+
+
 def integrate_od_source(extinction, j_in, j_out, traced: TracedRays):
     """Integrate a per-unit-optical-depth source along the traced rays:
     I = sum_s T_closer(s) (1 - e^{-dtau_s}) (J_in + J_out)/2.
