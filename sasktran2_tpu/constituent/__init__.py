@@ -16,6 +16,7 @@ from .misc import (
 )
 from .rayleigh import Rayleigh
 from .scatterer import (
+    GaussianHeightExtinction,
     HGScatteringOptical,
     MieScatteringOptical,
     NumberDensityScatterer,
@@ -28,6 +29,7 @@ __all__ = [
     "AirMassFactor",
     "CollisionInducedAbsorber",
     "Constituent",
+    "GaussianHeightExtinction",
     "HGScatteringOptical",
     "LambertianSurface",
     "LineListVolumeEmissionRate",

@@ -85,16 +85,17 @@ class NumberDensityScatterer(Constituent):
         L = min(leg.shape[0], a1.shape[0])
         a1[:L] += kscat[None] * leg[:L]
 
-    def register_derivative(self, atmo, name: str):
+    def _fill_per_nd(self, m, atmo):
+        """Fill a derivative mapping with the per-unit-number-density
+        derivative block (d_extinction/d_ssa/d_leg_coeff on the model
+        grid); interpolators are the caller's business."""
         props = self._props(atmo)
-        nd, interp = self._profile(atmo)
         k_total = atmo.storage.total_extinction
         ssa = atmo.storage.ssa
         a1 = atmo.leg_coeff.a1
         dk = props["xs_total"]  # [A, W]
         dks = dk * props["ssa"]
 
-        m = atmo.storage.get_derivative_mapping(f"wf_{name}")
         m.d_extinction[:] = dk
         with np.errstate(divide="ignore", invalid="ignore"):
             m.d_ssa[:] = np.where(
@@ -108,8 +109,94 @@ class NumberDensityScatterer(Constituent):
             inv = np.where(kscat_tot > 0, 1.0 / kscat_tot, 0.0)
         for li in range(L):
             m.d_leg_coeff[li] = dks * (leg[li] - a1[li]) * inv
+
+    def register_derivative(self, atmo, name: str):
+        _, interp = self._profile(atmo)
+        m = atmo.storage.get_derivative_mapping(f"wf_{name}")
+        self._fill_per_nd(m, atmo)
         m.interpolator = interp.T
         m.interp_dim = f"{name}_altitude"
+
+
+class GaussianHeightExtinction(NumberDensityScatterer):
+    """Aerosol layer with a gaussian-shaped extinction profile normalized
+    to a vertical optical depth at a reference wavelength, with analytic
+    weighting functions for the layer height, FWHM width, and vertical
+    optical depth (reference
+    ``src/sasktran2/constituent/gaussianheight.py``).
+
+    The implied number density is
+        n(z) = g(z) * tau / (G * xs(lambda_0)),
+        g(z) = exp(-4 ln2 (z - h)^2 / w^2),  G = integral of g dz.
+    """
+
+    def __init__(self, optical, height_m, width_fwhm_m,
+                 vertical_optical_depth, vertical_optical_depth_wavel_nm,
+                 altitudes_m):
+        # mutable length-1 arrays so numeric perturbation harnesses
+        # (test_util.wf.numeric_wf) can poke them element-wise
+        self.height_m = np.array([float(height_m)])
+        self.width_fwhm_m = np.array([float(width_fwhm_m)])
+        self.vertical_optical_depth = np.array(
+            [float(vertical_optical_depth)]
+        )
+        self.wavel0_nm = float(vertical_optical_depth_wavel_nm)
+        super().__init__(optical, altitudes_m,
+                         np.zeros(np.asarray(altitudes_m).size))
+
+    def _gaussian_terms(self):
+        z = self._altitudes
+        h = self.height_m.item()
+        w = self.width_fwhm_m.item()
+        c = 4.0 * np.log(2.0)
+        g = np.exp(-c * (z - h) ** 2 / w**2)
+        dg_dh = g * 2.0 * c * (z - h) / w**2
+        dg_dw = g * 2.0 * c * (z - h) ** 2 / w**3
+        return g, dg_dh, dg_dw
+
+    def _xs0(self):
+        props = self.optical.scattering_properties(
+            np.array([self.wavel0_nm])
+        )
+        xs0 = np.asarray(props["xs_total"])
+        return float(xs0.ravel()[0])
+
+    @property
+    def number_density(self):
+        g, _, _ = self._gaussian_terms()
+        big_g = np.trapezoid(g, self._altitudes)
+        return g * self.vertical_optical_depth.item() / (
+            big_g * self._xs0()
+        )
+
+    @number_density.setter
+    def number_density(self, value):
+        # parent __init__ assigns a placeholder; the profile is derived
+        pass
+
+    def register_derivative(self, atmo, name: str):
+        _, interp = self._profile(atmo)
+        g, dg_dh, dg_dw = self._gaussian_terms()
+        z = self._altitudes
+        big_g = np.trapezoid(g, z)
+        xs0 = self._xs0()
+        tau = self.vertical_optical_depth.item()
+        outer = tau / (big_g * xs0)
+
+        # dn/dp on the constituent grid (quotient rule through G = int g)
+        dn_dh = outer * (dg_dh - g * np.trapezoid(dg_dh, z) / big_g)
+        dn_dw = outer * (dg_dw - g * np.trapezoid(dg_dw, z) / big_g)
+        dn_dtau = g / (big_g * xs0)
+
+        for suffix, dn in (
+            ("height_m", dn_dh),
+            ("width_fwhm_m", dn_dw),
+            ("vertical_optical_depth", dn_dtau),
+        ):
+            m = atmo.storage.get_derivative_mapping(f"wf_{name}_{suffix}")
+            self._fill_per_nd(m, atmo)
+            m.interpolator = (interp @ dn)[None, :]  # [1, model_alt]
+            m.interp_dim = f"{name}_{suffix}"
 
 
 class HGScatteringOptical:

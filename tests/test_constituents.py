@@ -95,6 +95,86 @@ def test_solar_irradiance_scales_radiance():
     np.testing.assert_allclose(doubled, 2.0 * run(np.array([1.0])), rtol=1e-10)
 
 
+def test_gaussian_height_extinction_wfs():
+    """Height / width / vertical-OD weighting functions of the gaussian
+    aerosol layer vs finite differences (reference
+    src/sasktran2/constituent/gaussianheight.py)."""
+    from sasktran2_tpu.constituent import GaussianHeightExtinction
+
+    config, geometry, viewing = _setup()
+    engine = sk.Engine(config, geometry, viewing)
+    atmo = sk.Atmosphere(geometry, config, wavelengths_nm=np.array([550.0]))
+    add_us76_standard_atmosphere(atmo)
+    atmo["rayleigh"] = Rayleigh()
+    gauss = GaussianHeightExtinction(
+        HGScatteringOptical(xs_total=1e-13, ssa=0.9, g=0.7, nleg=8),
+        height_m=22000.0, width_fwhm_m=8000.0,
+        vertical_optical_depth=0.05,
+        vertical_optical_depth_wavel_nm=550.0,
+        altitudes_m=np.linspace(0, 60000, 61),
+    )
+    atmo["gauss"] = gauss
+    atmo["surface"] = sk.constituent.LambertianSurface(0.2)
+
+    # Height/width WFs are residuals of cancelling positive/negative
+    # dn/dp lobes, which amplifies finite-difference noise ~30x over the
+    # per-altitude nd WF (the analytic value matches the chain
+    # wf_nd . dn/dp to 1e-12); OD is cancellation-free. Reference
+    # test_gaussian_extinction.py validates at decimal=4.
+    for param, wf_name, frac, decimal in (
+        (gauss.height_m, "wf_gauss_height_m", 1e-3, 3),
+        (gauss.width_fwhm_m, "wf_gauss_width_fwhm_m", 1e-3, 2),
+        (gauss.vertical_optical_depth,
+         "wf_gauss_vertical_optical_depth", 5e-3, 4),
+    ):
+        ds = numeric_wf(param, frac, engine, atmo, wf_name)
+        validate_wf(ds[wf_name], ds[wf_name + "_numeric"],
+                    wf_dim=wf_name.removeprefix("wf_"), decimal=decimal)
+
+    # exact chain identity: wf_height == wf_nd . dn/dh through a separate
+    # NumberDensityScatterer with the derived profile
+    from sasktran2_tpu.constituent import NumberDensityScatterer
+
+    atmo2 = sk.Atmosphere(geometry, config,
+                          wavelengths_nm=np.array([550.0]))
+    add_us76_standard_atmosphere(atmo2)
+    atmo2["rayleigh"] = Rayleigh()
+    atmo2["aero"] = NumberDensityScatterer(
+        HGScatteringOptical(xs_total=1e-13, ssa=0.9, g=0.7, nleg=8),
+        gauss._altitudes, gauss.number_density.copy(),
+    )
+    atmo2["surface"] = sk.constituent.LambertianSurface(0.2)
+    wf_nd = engine.calculate_radiance(atmo2)["wf_aero"].to_numpy().ravel()
+    z = gauss._altitudes
+    g_prof, dg_dh, dg_dw = gauss._gaussian_terms()
+    big_g = np.trapezoid(g_prof, z)
+    out = engine.calculate_radiance(atmo)
+    for dg, wf_name in ((dg_dh, "wf_gauss_height_m"),
+                        (dg_dw, "wf_gauss_width_fwhm_m")):
+        dn = 0.05 / (big_g * 1e-13) * (
+            dg - g_prof * np.trapezoid(dg, z) / big_g
+        )
+        wf = out[wf_name].to_numpy().ravel()[0]
+        np.testing.assert_allclose(wf_nd @ dn, wf, rtol=1e-10)
+
+
+def test_gaussian_height_extinction_total_od():
+    """The implied extinction profile integrates to the requested vertical
+    optical depth at the reference wavelength."""
+    from sasktran2_tpu.constituent import GaussianHeightExtinction
+
+    alts = np.linspace(0, 60000, 121)
+    gauss = GaussianHeightExtinction(
+        HGScatteringOptical(xs_total=2e-13, ssa=0.9, g=0.7),
+        height_m=20000.0, width_fwhm_m=5000.0,
+        vertical_optical_depth=0.1,
+        vertical_optical_depth_wavel_nm=550.0,
+        altitudes_m=alts,
+    )
+    k = gauss.number_density * 2e-13
+    np.testing.assert_allclose(np.trapezoid(k, alts), 0.1, rtol=1e-12)
+
+
 def test_gaussian_aerosol_profile_helper():
     prof = aerosol_profile(np.linspace(0, 40000, 41))
     assert prof.max() == prof[22]
