@@ -20,8 +20,9 @@ from .scatterer import (
     HGScatteringOptical,
     MieScatteringOptical,
     NumberDensityScatterer,
+    NumberDensityScatterer2D,
 )
-from .vmr_absorber import VMRAltitudeAbsorber
+from .vmr_absorber import VMRAbsorber2D, VMRAltitudeAbsorber
 
 __all__ = [
     "MODIS",
@@ -36,11 +37,13 @@ __all__ = [
     "ManualOpticalProperties",
     "MieScatteringOptical",
     "NumberDensityScatterer",
+    "NumberDensityScatterer2D",
     "PopulationEmissionRate",
     "Rayleigh",
     "SolarIrradiance",
     "SurfaceThermalEmission",
     "ThermalEmission",
+    "VMRAbsorber2D",
     "VMRAltitudeAbsorber",
     "VolumeEmissionRate",
     "planck_blackbody_radiance",

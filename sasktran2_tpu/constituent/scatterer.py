@@ -199,6 +199,80 @@ class GaussianHeightExtinction(NumberDensityScatterer):
             m.interp_dim = f"{name}_{suffix}"
 
 
+class NumberDensityScatterer2D(NumberDensityScatterer):
+    """Scatterer specified by number density on the native
+    :class:`Geometry2D` ``(horizontal, altitude)`` grid — no spatial
+    interpolation (reference
+    ``src/sasktran2/constituent/numdenscatterer2d.py``)."""
+
+    def __init__(self, optical, number_density, param_values=None):
+        nd = np.asarray(number_density, dtype=np.float64)
+        if nd.ndim != 2 or 0 in nd.shape:
+            msg = (
+                "number_density must have non-empty shape "
+                f"(horizontal, altitude); got {nd.shape}"
+            )
+            raise ValueError(msg)
+        self._shape2d = nd.shape
+        super().__init__(optical, np.zeros(nd.size), nd.ravel(),
+                         param_values=param_values)
+
+    @property
+    def volume_spatial_mode(self) -> str:
+        return "native_2d"
+
+    def _validate(self, atmo):
+        from ..geometry import Geometry2D
+
+        geom = atmo.model_geometry
+        if not isinstance(geom, Geometry2D):
+            msg = (
+                "NumberDensityScatterer2D requires an atmosphere using "
+                "Geometry2D"
+            )
+            raise TypeError(msg)
+        shape = (geom.num_horizontal, geom.num_altitudes)
+        if self._shape2d != shape:
+            msg = (
+                "NumberDensityScatterer2D shape does not match the "
+                f"atmosphere: {self._shape2d} != {shape}"
+            )
+            raise ValueError(msg)
+
+    def _profile(self, atmo):
+        # native grid: identity mapping, no interpolation
+        return self.number_density, np.eye(self.number_density.size)
+
+    def _props(self, atmo):
+        # altitude-independent optical broadcast over all locations
+        props = self.optical.scattering_properties(atmo.wavelengths_nm)
+        A = self.number_density.size
+        W = len(np.atleast_1d(atmo.wavelengths_nm))
+        out = {}
+        for k in ("xs_total", "ssa"):
+            v = np.asarray(props[k])
+            out[k] = (
+                np.broadcast_to(v[None, :], (A, W)).copy()
+                if v.ndim == 1 else v
+            )
+        leg = np.asarray(props["legendre"])
+        out["legendre"] = (
+            np.broadcast_to(leg[:, None, :], (leg.shape[0], A, W)).copy()
+            if leg.ndim == 2 else leg
+        )
+        return out
+
+    def add_to_atmosphere(self, atmo):
+        self._validate(atmo)
+        super().add_to_atmosphere(atmo)
+
+    def register_derivative(self, atmo, name: str):
+        self._validate(atmo)
+        m = atmo.storage.get_derivative_mapping(f"wf_{name}")
+        self._fill_per_nd(m, atmo)
+        m.interp_dim = f"{name}_location"
+
+
 class HGScatteringOptical:
     """Henyey-Greenstein test optical property for scatterers."""
 
