@@ -76,7 +76,9 @@ def __getattr__(name):
         globals()["Engine"] = Engine
         return Engine
     if name in ("constituent", "optical", "climatology", "test_util",
-                "solar", "basis", "parallel"):
+                "solar", "basis", "parallel", "mie", "legendre",
+                "units", "constants", "database", "photchem",
+                "spectroscopy", "util"):
         mod = importlib.import_module(f"sasktran2_tpu.{name}")
         globals()[name] = mod
         return mod
