@@ -1,4 +1,5 @@
 from .base import OpticalProperty
+from .baum import BaumIceCrystal
 from .database import (
     AbsorberDatabase,
     OpticalDatabaseGenericAbsorber,
@@ -22,6 +23,7 @@ from .rayleigh import rayleigh_cross_section_bates
 from .tabulated import TabulatedCrossSectionAbsorber
 
 __all__ = [
+    "BaumIceCrystal",
     "HITRANCollision",
     "HITRANTabulated",
     "HITRANUV",
