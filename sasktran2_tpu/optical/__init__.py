@@ -7,8 +7,14 @@ from .database import (
     ScattererDatabase,
 )
 from .henyey import HenyeyGreenstein
-from .line_absorber import LineAbsorber, LineCatalogue, load_hitran_par
-from .lineshape import voigt_profile, wofz
+from .line_absorber import (
+    AERLineAbsorber,
+    LineAbsorber,
+    LineCatalogue,
+    load_aer_line_file,
+    load_hitran_par,
+)
+from .lineshape import voigt_profile, voigt_profile_complex, wofz
 from .mie import MieOutput, compute_mie, mie_amplitudes, mie_efficiencies
 from .named import (
     HITRANUV,
@@ -23,6 +29,7 @@ from .rayleigh import rayleigh_cross_section_bates
 from .tabulated import TabulatedCrossSectionAbsorber
 
 __all__ = [
+    "AERLineAbsorber",
     "BaumIceCrystal",
     "HITRANCollision",
     "HITRANTabulated",

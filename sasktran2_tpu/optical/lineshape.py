@@ -90,6 +90,18 @@ def voigt_profile(nu, nu0, doppler_width, lorentz_width):
     return jnp.real(wofz(z)) / (doppler_width * SQRT_PI)
 
 
+def voigt_profile_complex(nu, nu0, doppler_width, lorentz_width):
+    """(absorption, dispersion) components of the Voigt profile:
+    ``Re w(z) / (alpha_d sqrt(pi))`` and ``Im w(z) / (alpha_d sqrt(pi))``.
+    The dispersion part enters first-order Rosenkranz line mixing
+    (reference ``line_absorber.rs w_jpole_assign`` coupling branch)."""
+    x = (nu - nu0) / doppler_width
+    y = lorentz_width / doppler_width
+    w = wofz(x + 1j * y)
+    norm = doppler_width * SQRT_PI
+    return jnp.real(w) / norm, jnp.imag(w) / norm
+
+
 def doppler_width(nu0, temperature_k, molar_mass_kg_mol):
     """alpha_d parameter [same units as nu0]."""
     kb = 1.380649e-23
