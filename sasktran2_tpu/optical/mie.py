@@ -65,7 +65,12 @@ def mie_coefficients(x, m, nmax: int | None = None):
         (p_prev, p_curr, c_prev, c_curr) = carry
         fac = (2.0 * n - 1.0) / x
         p_next = fac * p_curr - p_prev
-        c_next = fac * c_curr - c_prev
+        # chi_n grows like (2n-1)!!/x^n for n >> x; in a batch whose nmax
+        # is set by its largest member this overflows for the small-x
+        # members. Clamp it: the clamped xi only enters a_n/b_n
+        # denominators, which then correctly evaluate to ~0 (the true
+        # coefficients underflow there anyway).
+        c_next = jnp.clip(fac * c_curr - c_prev, -1e250, 1e250)
         return (p_curr, p_next, c_curr, c_next), (p_next, c_next)
 
     ns_up = jnp.arange(1, nmax + 1, dtype=x.dtype)
