@@ -246,10 +246,17 @@ class PopulationEmissionRate(Constituent):
     line_weight_model : ``einstein_a_branching`` | ``hitran_line_strength``.
     """
 
-    def __init__(self, populations, catalogue, species=("O2",),
-                 line_weight_model="einstein_a_branching"):
+    def __init__(self, populations, catalogue=None, species=("O2",),
+                 line_weight_model="einstein_a_branching", db=None):
         from ..photchem import emission as phem
 
+        if catalogue is None:
+            # reference parity: default to the cached HITRAN O2 line file
+            if db is None:
+                from ..database.hitran_line import HITRANLineDatabase
+
+                db = HITRANLineDatabase()
+            catalogue = db.load_catalogue("O2")
         if isinstance(species, str):
             species = [species]
         for s in species:

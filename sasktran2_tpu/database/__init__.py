@@ -63,3 +63,18 @@ class WebDatabase(CachedDatabase):
             "SASKTRAN2_TPU_DB_ROOT."
         )
         raise FileNotFoundError(msg)
+
+
+def __getattr__(name):
+    # lazy: database.mie imports the optical layer, which imports this
+    # package — defer to avoid the cycle
+    if name == "MieDatabase":
+        from .mie import MieDatabase
+
+        return MieDatabase
+    if name == "HITRANLineDatabase":
+        from .hitran_line import HITRANLineDatabase
+
+        return HITRANLineDatabase
+    msg = f"module 'sasktran2_tpu.database' has no attribute {name!r}"
+    raise AttributeError(msg)
