@@ -105,9 +105,23 @@ class Engine:
                 solar_refraction=config.solar_refraction,
             )
 
-        self._needs_ss_exact = (
-            config.single_scatter_source == SingleScatterSource.Exact
+        self._needs_ss_exact = config.single_scatter_source in (
+            SingleScatterSource.Exact, SingleScatterSource.Table,
         )
+        if (
+            config.single_scatter_source == SingleScatterSource.Table
+            and self._traced is not None
+            and geometry.geometry_type != GeometryType.PlaneParallel
+        ):
+            # precomputed (altitude x SZA) solar-transmission table
+            # (reference solartransmissiontable.cpp); recomposes the static
+            # sun weights, jitted compute identical to the exact mode
+            from .rt.raytrace import apply_solar_table
+
+            self._traced = apply_solar_table(
+                self._traced, geometry.altitudes(),
+                geometry.earth_radius_m,
+            )
         ms = config.multiple_scatter_source
         self._needs_so = ms == MultipleScatterSource.SuccessiveOrders
         self._needs_do = ms in (
