@@ -20,6 +20,54 @@ import time
 import numpy as np
 
 
+def _build_twostream(W, P=100, L=40, dtype=None):
+    """Wavelength-minor two-stream fast path (rt/twostream.py): same
+    physics and Jacobians as the generic solver (validated to 1e-10 in
+    tests/test_twostream.py) with wavelengths in the TPU lane axis, so no
+    chunking or remat is needed. Per-wavelength Jacobians come from ONE
+    broadcast vjp (outputs are wavelength-diagonal in the inputs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sasktran2_tpu.rt import disco
+    from sasktran2_tpu.rt.twostream import solve_twostream
+
+    dtype = dtype or jnp.float32
+    rng = np.random.default_rng(1)
+    alts = np.linspace(0, 100000, P + 1)
+    ext_prof = 7e-5 * np.exp(-alts / 7000.0)
+    dtau_prof = (0.5 * (ext_prof[:-1] + ext_prof[1:])
+                 * np.diff(alts))[::-1]
+    dtau = (
+        np.broadcast_to(dtau_prof, (W, P)) * rng.uniform(0.8, 1.2, (W, 1))
+    ).T  # [P, W]
+    ls = np.arange(L)
+    beta = np.broadcast_to(
+        ((2 * ls + 1) * 0.5**ls)[:, None, None], (L, P, W)
+    )
+    tables = disco.build_mode_tables(2, L, 0.6, np.array([0.8]),
+                                     num_azimuth=2)
+    inputs = {
+        "dtau": jnp.asarray(dtau, dtype=dtype),
+        "omega": jnp.full((P, W), 0.9, dtype=dtype),
+        "beta": jnp.asarray(beta, dtype=dtype),
+        "albedo": jnp.full((W,), 0.3, dtype=dtype),
+    }
+
+    def rad_fn(x):
+        return solve_twostream(
+            x["dtau"], x["omega"], x["beta"], x["albedo"], tables,
+            np.array([True]), np.array([0.0]),
+        )
+
+    def full(x):
+        with jax.default_matmul_precision("highest"):
+            rad, vjp = jax.vjp(rad_fn, x)
+            return rad, vjp(jnp.ones_like(rad))[0]
+
+    return jax.jit(full), inputs
+
+
 def _build(nstr, W, P=100, L=40, chunk=None, dtype=None):
     """Jitted fn computing radiance + full per-wavelength Jacobians.
 
@@ -156,15 +204,32 @@ def _run_case(nstr, W, chunk=None):
         return None
 
 
+def _run_twostream(W):
+    import traceback
+
+    try:
+        fn, inputs = _build_twostream(W)
+        dt = _time_solves(fn, inputs)
+        return W / dt
+    except Exception:
+        traceback.print_exc()
+        return None
+
+
 def main():
-    W = 4096
-    solves2 = _run_case(2, W)
-    if solves2 is None:  # retry chunked at reduced batch
-        W = 2048
+    # Headline: the wavelength-minor two-stream fast path (rt/twostream.py,
+    # wavelengths in the TPU lane axis; validated vs the generic solver at
+    # 1e-10). The generic wavelength-leading path is reported in "extra"
+    # with the chunk sizes found by on-device sweeps.
+    W = 65536
+    solves2 = _run_twostream(W)
+    if solves2 is None:  # fall back to the generic chunked path
+        W = 4096
         solves2 = _run_case(2, W, chunk=512)
 
+    solves2_generic = _run_case(2, 4096, chunk=512)
     W16 = 1024
-    solves16 = _run_case(16, W16, chunk=128)
+    solves16 = _run_case(16, W16, chunk=16)
 
     baseline_2str = 17.0  # ref CPU thread, 100 lyr, 2 str, with Jacobians
     print(
@@ -179,6 +244,10 @@ def main():
                 "extra": {
                     "solves_per_sec_16stream_jac": (
                         round(solves16, 1) if solves16 else None
+                    ),
+                    "solves_per_sec_2str_generic_path": (
+                        round(solves2_generic, 1)
+                        if solves2_generic else None
                     ),
                     "batch_2str": W,
                     "batch_16str": W16,

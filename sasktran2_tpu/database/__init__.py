@@ -14,13 +14,12 @@ from pathlib import Path
 
 
 def database_root() -> Path:
-    """The local database cache directory (override with
-    SASKTRAN2_TPU_DB_ROOT)."""
-    root = os.environ.get(
-        "SASKTRAN2_TPU_DB_ROOT",
-        os.path.join(os.path.expanduser("~"), ".sasktran2_tpu", "db"),
-    )
-    p = Path(root)
+    """The local database cache directory. Resolution order (see
+    ``appconfig``): SASKTRAN2_TPU_DB_ROOT env var > user config file
+    ``database_root`` key > ``~/.sasktran2_tpu/db``."""
+    from ..appconfig import database_root as _cfg_root
+
+    p = _cfg_root()
     p.mkdir(parents=True, exist_ok=True)
     return p
 

@@ -1,0 +1,135 @@
+"""Wavelength-minor two-stream solver vs the generic DO solver
+(reference analog: rust two-stream vs C++ DISCO parity,
+rust/sasktran2-rs/tests/twostream_backend.rs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sasktran2_tpu.rt import disco
+from sasktran2_tpu.rt.twostream import solve_twostream
+
+
+def _case(W=8, P=20, L=6, seed=0):
+    rng = np.random.default_rng(seed)
+    dtau = rng.uniform(0.01, 0.4, (W, P))
+    omega = rng.uniform(0.2, 0.95, (W, P))
+    ls = np.arange(L)
+    g = rng.uniform(0.0, 0.8, (W, P, 1))
+    beta = (2 * ls + 1) * g**ls
+    albedo = rng.uniform(0.0, 0.9, W)
+    return dtau, omega, beta, albedo
+
+
+@pytest.mark.parametrize("mu0,up", [(0.6, True), (0.35, False)])
+def test_twostream_matches_disco(mu0, up):
+    dtau, omega, beta, albedo = _case()
+    user_mu = np.array([0.7, 0.3])
+    user_up = np.array([up, up])
+    user_azi = np.array([0.0, 1.2])
+    tables = disco.build_mode_tables(2, beta.shape[-1], mu0, user_mu,
+                                     num_azimuth=2)
+    r_disco = disco.solve_plane_parallel(
+        jnp.asarray(dtau), jnp.asarray(omega), jnp.asarray(beta),
+        jnp.asarray(albedo), tables, user_up, user_azi,
+    )
+    r_ts = solve_twostream(
+        jnp.asarray(dtau.T), jnp.asarray(omega.T),
+        jnp.asarray(np.transpose(beta, (2, 1, 0))),
+        jnp.asarray(albedo), tables, user_up, user_azi,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_ts).T, np.asarray(r_disco), rtol=1e-10, atol=1e-14
+    )
+
+
+def test_twostream_thermal_matches_disco():
+    dtau, omega, beta, albedo = _case(seed=3)
+    W, P = dtau.shape
+    user_mu = np.array([0.8])
+    user_up = np.array([True])
+    user_azi = np.array([0.0])
+    rng = np.random.default_rng(7)
+    emis_levels = rng.uniform(0.5, 2.0, (W, P + 1))
+    b_top = emis_levels[:, 1:][:, ::-1]
+    b_bot = emis_levels[:, :-1][:, ::-1]
+    surf_em = rng.uniform(0.0, 1.0, W)
+    tables = disco.build_mode_tables(2, beta.shape[-1], 0.6, user_mu,
+                                     num_azimuth=2)
+    kwargs = dict(thermal_b0=jnp.asarray(b_top),
+                  thermal_b1_bottom=jnp.asarray(b_bot),
+                  surface_emission=jnp.asarray(surf_em))
+    r_disco = disco.solve_plane_parallel(
+        jnp.asarray(dtau), jnp.asarray(omega), jnp.asarray(beta),
+        jnp.asarray(albedo), tables, user_up, user_azi, **kwargs,
+    )
+    r_ts = solve_twostream(
+        jnp.asarray(dtau.T), jnp.asarray(omega.T),
+        jnp.asarray(np.transpose(beta, (2, 1, 0))),
+        jnp.asarray(albedo), tables, user_up, user_azi,
+        thermal_b0=jnp.asarray(b_top.T),
+        thermal_b1_bottom=jnp.asarray(b_bot.T),
+        surface_emission=jnp.asarray(surf_em),
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_ts).T, np.asarray(r_disco), rtol=1e-9, atol=1e-13
+    )
+
+
+def test_twostream_chapman_and_f0():
+    dtau, omega, beta, albedo = _case(seed=5, P=12)
+    P = dtau.shape[1]
+    user_mu = np.array([0.6])
+    tables = disco.build_mode_tables(2, beta.shape[-1], 0.5, user_mu,
+                                     num_azimuth=2)
+    rng = np.random.default_rng(11)
+    chapman = np.tril(rng.uniform(1.5, 2.5, (P, P)))
+    f0 = rng.uniform(0.5, 2.0, dtau.shape[0])
+    r_disco = disco.solve_plane_parallel(
+        jnp.asarray(dtau), jnp.asarray(omega), jnp.asarray(beta),
+        jnp.asarray(albedo), tables, np.array([True]), np.array([0.0]),
+        chapman=jnp.asarray(chapman), f0=jnp.asarray(f0),
+    )
+    r_ts = solve_twostream(
+        jnp.asarray(dtau.T), jnp.asarray(omega.T),
+        jnp.asarray(np.transpose(beta, (2, 1, 0))),
+        jnp.asarray(albedo), tables, np.array([True]), np.array([0.0]),
+        chapman=jnp.asarray(chapman), f0=jnp.asarray(f0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_ts).T, np.asarray(r_disco), rtol=1e-10, atol=1e-14
+    )
+
+
+def test_twostream_jacobians_match_disco():
+    """Per-wavelength Jacobians via one broadcast vjp equal the generic
+    solver's per-wavelength vjp."""
+    dtau, omega, beta, albedo = _case(W=4, P=10, seed=9)
+    user_mu = np.array([0.8])
+    tables = disco.build_mode_tables(2, beta.shape[-1], 0.6, user_mu,
+                                     num_azimuth=2)
+
+    def f_disco(dt_):
+        return disco.solve_plane_parallel(
+            dt_, jnp.asarray(omega), jnp.asarray(beta),
+            jnp.asarray(albedo), tables, np.array([True]),
+            np.array([0.0]),
+        )
+
+    def f_ts(dt_minor):
+        return solve_twostream(
+            dt_minor, jnp.asarray(omega.T),
+            jnp.asarray(np.transpose(beta, (2, 1, 0))),
+            jnp.asarray(albedo), tables, np.array([True]),
+            np.array([0.0]),
+        )
+
+    _, vjp_d = jax.vjp(f_disco, jnp.asarray(dtau))
+    g_disco = vjp_d(jnp.ones((dtau.shape[0], 1)))[0]  # [W, P]
+    _, vjp_t = jax.vjp(f_ts, jnp.asarray(dtau.T))
+    g_ts = vjp_t(jnp.ones((1, dtau.shape[0])))[0]     # [P, W]
+    np.testing.assert_allclose(
+        np.asarray(g_ts).T, np.asarray(g_disco), rtol=1e-9, atol=1e-13
+    )
