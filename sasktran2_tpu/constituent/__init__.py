@@ -16,6 +16,8 @@ from .misc import (
 )
 from .rayleigh import Rayleigh
 from .scatterer import (
+    ExtinctionScatterer,
+    ExtinctionScatterer2D,
     GaussianHeightExtinction,
     HGScatteringOptical,
     MieScatteringOptical,
@@ -24,14 +26,22 @@ from .scatterer import (
 )
 from .vmr_absorber import VMRAbsorber2D, VMRAltitudeAbsorber
 
+# reference-name aliases (src/sasktran2/constituent/__init__.py)
+Manual = ManualOpticalProperties
+MonochromaticVolumeEmissionRate = VolumeEmissionRate
+
 __all__ = [
     "MODIS",
     "SnowKokhanovsky",
     "AirMassFactor",
     "CollisionInducedAbsorber",
     "Constituent",
+    "ExtinctionScatterer",
+    "ExtinctionScatterer2D",
     "GaussianHeightExtinction",
     "HGScatteringOptical",
+    "Manual",
+    "MonochromaticVolumeEmissionRate",
     "LambertianSurface",
     "LineListVolumeEmissionRate",
     "ManualOpticalProperties",

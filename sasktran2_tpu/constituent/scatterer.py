@@ -199,6 +199,63 @@ class GaussianHeightExtinction(NumberDensityScatterer):
             m.interp_dim = f"{name}_{suffix}"
 
 
+class ExtinctionScatterer(NumberDensityScatterer):
+    """Scatterer specified by an extinction profile [m^-1] at a reference
+    wavelength; the implied number density is ``extinction / xs(lambda_0)``
+    and the weighting function is registered in extinction space
+    (reference ``src/sasktran2/constituent/numdenscatterer.py:125``)."""
+
+    def __init__(self, optical, altitudes_m, extinction_per_m,
+                 extinction_wavelength_nm, param_values=None):
+        self.extinction_per_m = np.asarray(extinction_per_m,
+                                           dtype=np.float64)
+        self.extinction_wavelength_nm = float(extinction_wavelength_nm)
+        super().__init__(optical, altitudes_m,
+                         np.zeros_like(self.extinction_per_m),
+                         param_values=param_values)
+
+    def _xs0(self):
+        """Cross section at the reference wavelength on the constituent
+        grid [A_src]."""
+        if self.param_values:
+            props = self.optical.scattering_properties(
+                np.array([self.extinction_wavelength_nm]),
+                altitudes_m=self._altitudes, **self.param_values,
+            )
+            xs = np.asarray(props["xs_total"])[:, 0]
+        else:
+            props = self.optical.scattering_properties(
+                np.array([self.extinction_wavelength_nm])
+            )
+            xs = np.broadcast_to(
+                np.asarray(props["xs_total"]).ravel()[:1],
+                self._altitudes.shape,
+            )
+        return xs
+
+    @property
+    def number_density(self):
+        xs0 = self._xs0()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nd = np.where(xs0 > 0, self.extinction_per_m / xs0, 0.0)
+        return nd
+
+    @number_density.setter
+    def number_density(self, value):
+        pass  # derived from the extinction profile
+
+    def register_derivative(self, atmo, name: str):
+        _, interp = self._profile(atmo)
+        m = atmo.storage.get_derivative_mapping(f"wf_{name}")
+        self._fill_per_nd(m, atmo)
+        xs0 = self._xs0()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = np.where(xs0 > 0, 1.0 / xs0, 0.0)
+        # chain: dI/d ext_src = (1/xs0_src) sum_model interp dI/dn_model
+        m.interpolator = interp.T * inv[:, None]
+        m.interp_dim = f"{name}_altitude"
+
+
 class NumberDensityScatterer2D(NumberDensityScatterer):
     """Scatterer specified by number density on the native
     :class:`Geometry2D` ``(horizontal, altitude)`` grid — no spatial
@@ -270,6 +327,47 @@ class NumberDensityScatterer2D(NumberDensityScatterer):
         self._validate(atmo)
         m = atmo.storage.get_derivative_mapping(f"wf_{name}")
         self._fill_per_nd(m, atmo)
+        m.interp_dim = f"{name}_location"
+
+
+class ExtinctionScatterer2D(NumberDensityScatterer2D):
+    """Native-grid 2D scatterer specified by extinction [m^-1] at a
+    reference wavelength (reference
+    ``src/sasktran2/constituent/numdenscatterer2d.py:160``)."""
+
+    def __init__(self, optical, extinction_per_m,
+                 extinction_wavelength_nm, param_values=None):
+        ext = np.asarray(extinction_per_m, dtype=np.float64)
+        self.extinction_per_m = ext
+        self.extinction_wavelength_nm = float(extinction_wavelength_nm)
+        super().__init__(optical, np.zeros_like(ext),
+                         param_values=param_values)
+
+    def _xs0(self):
+        props = self.optical.scattering_properties(
+            np.array([self.extinction_wavelength_nm])
+        )
+        return float(np.asarray(props["xs_total"]).ravel()[0])
+
+    @property
+    def number_density(self):
+        xs0 = self._xs0()
+        return (
+            self.extinction_per_m.ravel() / xs0 if xs0 > 0
+            else np.zeros(self.extinction_per_m.size)
+        )
+
+    @number_density.setter
+    def number_density(self, value):
+        pass  # derived from the extinction field
+
+    def register_derivative(self, atmo, name: str):
+        self._validate(atmo)
+        m = atmo.storage.get_derivative_mapping(f"wf_{name}")
+        self._fill_per_nd(m, atmo)
+        xs0 = self._xs0()
+        inv = 1.0 / xs0 if xs0 > 0 else 0.0
+        m.interpolator = np.eye(self.extinction_per_m.size) * inv
         m.interp_dim = f"{name}_location"
 
 

@@ -175,6 +175,67 @@ def test_gaussian_height_extinction_total_od():
     np.testing.assert_allclose(np.trapezoid(k, alts), 0.1, rtol=1e-12)
 
 
+def test_extinction_scatterer_wf():
+    """ExtinctionScatterer: extinction-space WF vs finite differences and
+    equivalence with the NumberDensityScatterer it derives from."""
+    from sasktran2_tpu.constituent import ExtinctionScatterer
+
+    config, geometry, viewing = _setup()
+    engine = sk.Engine(config, geometry, viewing)
+    alts = np.linspace(0, 40000, 11)
+    ext = 2e-7 * np.exp(-alts / 10000.0)
+    opt = HGScatteringOptical(xs_total=1e-13, ssa=0.9, g=0.7, nleg=8)
+
+    atmo = sk.Atmosphere(geometry, config, wavelengths_nm=np.array([550.0]))
+    add_us76_standard_atmosphere(atmo)
+    atmo["rayleigh"] = Rayleigh()
+    scat = ExtinctionScatterer(opt, alts, ext, 550.0)
+    atmo["aero"] = scat
+    atmo["surface"] = sk.constituent.LambertianSurface(0.2)
+
+    # equivalent number-density constituent gives the same radiance
+    atmo2 = sk.Atmosphere(geometry, config,
+                          wavelengths_nm=np.array([550.0]))
+    add_us76_standard_atmosphere(atmo2)
+    atmo2["rayleigh"] = Rayleigh()
+    atmo2["aero"] = NumberDensityScatterer(opt, alts, ext / 1e-13)
+    atmo2["surface"] = sk.constituent.LambertianSurface(0.2)
+    r1 = engine.calculate_radiance(atmo)["radiance"].to_numpy()
+    r2 = engine.calculate_radiance(atmo2)["radiance"].to_numpy()
+    np.testing.assert_allclose(r1, r2, rtol=1e-12)
+
+    ds = numeric_wf(scat.extinction_per_m, 0.005, engine, atmo, "wf_aero")
+    validate_wf(ds["wf_aero"], ds["wf_aero_numeric"],
+                wf_dim="aero_altitude", decimal=5)
+
+
+def test_extinction_scatterer_2d():
+    from sasktran2_tpu.constituent import ExtinctionScatterer2D
+
+    config = sk.Config(
+        single_scatter_source=sk.SingleScatterSource.NoSource,
+        multiple_scatter_source=sk.MultipleScatterSource.NoSource,
+        occultation_source=sk.OccultationSource.Standard,
+        num_streams=2,
+    )
+    geometry = sk.Geometry2D(
+        cos_sza=0.6, solar_azimuth=0.0, earth_radius_m=6372000.0,
+        altitude_grid_m=np.linspace(0, 80000, 9),
+        horizontal_angle_grid_radians=np.linspace(-0.5, 0.5, 5),
+    )
+    atmo = sk.Atmosphere(geometry, config,
+                         wavelengths_nm=np.array([550.0]))
+    ext = np.outer(np.linspace(1.0, 2.0, 5), np.full(9, 1e-6))
+    atmo["aero"] = ExtinctionScatterer2D(
+        HGScatteringOptical(xs_total=1e-13, ssa=0.9, g=0.5, nleg=4),
+        ext, 550.0,
+    )
+    atmo.internal_object()
+    k = np.asarray(atmo.storage.total_extinction)
+    np.testing.assert_allclose(k[:, 0], ext.ravel(), rtol=1e-12)
+    assert "wf_aero" in atmo.storage.derivative_mappings
+
+
 def test_gaussian_aerosol_profile_helper():
     prof = aerosol_profile(np.linspace(0, 40000, 41))
     assert prof.max() == prof[22]
