@@ -403,9 +403,13 @@ class Engine:
             avg_leg(leg_coeff),
         )
 
-    def _radiance_single_wavelength(self, core):
+    def _radiance_single_wavelength(self, core, skip_do_groups=False):
         """Radiance [nlos] for one wavelength's core inputs (each leading
-        axis W removed). Differentiated per-wavelength via vjp."""
+        axis W removed). Differentiated per-wavelength via vjp.
+
+        ``skip_do_groups``: omit the plane-parallel DO-group radiance (it
+        is computed batch-wise by the wavelength-minor two-stream fast
+        path, ``_twostream_do_groups_batched``)."""
         cfg = self._config
         ext = core["extinction"][None, :]
         ssa = core["ssa"][None, :]
@@ -521,16 +525,17 @@ class Engine:
                     "surface_emission": surf_em[None],
                 }
             chapman = self._chapman_factors(ext.dtype)
-            for idx, tables, user_up, user_azi in self._do_groups:
-                r = disco.solve_plane_parallel(
-                    dtau, omega, beta, alb, tables, user_up, user_azi,
-                    include_ss=self._do_include_ss,
-                    chapman=chapman.get(tables.mu0),
-                    f0=f0,
-                    **thermal_kw,
-                    **brdf_kw,
-                )[0]
-                rad = rad.at[jnp.asarray(idx)].add(r)
+            if not skip_do_groups:
+                for idx, tables, user_up, user_azi in self._do_groups:
+                    r = disco.solve_plane_parallel(
+                        dtau, omega, beta, alb, tables, user_up, user_azi,
+                        include_ss=self._do_include_ss,
+                        chapman=chapman.get(tables.mu0),
+                        f0=f0,
+                        **thermal_kw,
+                        **brdf_kw,
+                    )[0]
+                    rad = rad.at[jnp.asarray(idx)].add(r)
 
             for idx, tables_list in self._limb_groups:
                 j_in_list, j_out_list = [], []
@@ -876,9 +881,74 @@ class Engine:
         }
 
     # ------------------------------------------------------------------
+    def _twostream_fast_ok(self):
+        """The wavelength-minor two-stream fast path applies when every
+        multiple-scatter contribution is a plane-parallel nstr=2 DO-group
+        solve with a Lambertian surface (scalar radiance)."""
+        return (
+            not self._is_2d
+            and self._config.num_stokes == 1
+            and self._needs_do
+            and self._do_nstr == 2
+            and bool(self._do_groups)
+            and not self._limb_groups
+            and not self._flux_groups
+            and not self._needs_so
+            and getattr(self, "_surface_brdf", None) is None
+        )
+
+    def _twostream_do_groups_batched(self, core):
+        """All DO-group radiances for the whole wavelength batch via the
+        wavelength-minor two-stream solver (``rt/twostream.py``). core
+        arrays are wavelength-leading; returns [W, nlos] with zeros at
+        rays not covered by a DO group."""
+        from .config import EmissionSource
+        from .rt.twostream import solve_twostream
+
+        cfg = self._config
+        ext = core["extinction"]  # [W, A]
+        ssa = core["ssa"]
+        leg = core["leg_coeff"]
+        alb = core["albedo"]
+        emis = core["emission"]
+        f0 = core["solar_irradiance"]
+        surf_em = core.get("surface_emission", jnp.zeros_like(alb))
+
+        dtau, omega, beta = self._layer_optical(ext, ssa, leg)
+        dtau_t = jnp.moveaxis(dtau, 0, -1)        # [P, W]
+        omega_t = jnp.moveaxis(omega, 0, -1)
+        beta_t = jnp.transpose(beta, (2, 1, 0))   # [L, P, W]
+
+        thermal_kw = {}
+        if cfg.emission_source in (
+            EmissionSource.DiscreteOrdinates, EmissionSource.TwoStream,
+        ):
+            b_top = emis[..., 1:][..., ::-1]      # [W, P]
+            b_bot = emis[..., :-1][..., ::-1]
+            thermal_kw = {
+                "thermal_b0": jnp.moveaxis(b_top, 0, -1),
+                "thermal_b1_bottom": jnp.moveaxis(b_bot, 0, -1),
+                "surface_emission": surf_em,
+            }
+        chapman = self._chapman_factors(ext.dtype)
+        W = ext.shape[0]
+        rad = jnp.zeros((W, len(self._rays)), dtype=ext.dtype)
+        for idx, tables, user_up, user_azi in self._do_groups:
+            r = solve_twostream(
+                dtau_t, omega_t, beta_t, alb, tables, user_up, user_azi,
+                include_ss=self._do_include_ss,
+                chapman=chapman.get(tables.mu0),
+                f0=f0,
+                **thermal_kw,
+            )  # [U, W]
+            rad = rad.at[:, jnp.asarray(idx)].add(jnp.moveaxis(r, 0, -1))
+        return rad
+
     def _build_jit(self, needs_leg_jac, needs_jac, with_flux):
         # TPU matmuls default to bf16 for f32 inputs; radiative transfer
         # needs full f32 accumulation throughout the solver.
+        fast_ts = not with_flux and self._twostream_fast_ok()
+
         def outputs(core):
             rad = self._radiance_single_wavelength(core)
             if with_flux:
@@ -898,7 +968,37 @@ class Engine:
                 }
             return out, grads
 
-        batched = jax.vmap(per_wavelength)
+        if fast_ts:
+            # whole-batch function: per-wavelength sources minus the DO
+            # groups (vmapped) + the wavelength-minor two-stream DO part.
+            # Outputs are wavelength-diagonal in the inputs, so ONE
+            # broadcast-seeded vjp per output yields all per-wavelength
+            # Jacobian rows at once.
+            def batched_outputs(core):
+                rest = jax.vmap(
+                    lambda c: self._radiance_single_wavelength(
+                        c, skip_do_groups=True
+                    )
+                )(core)
+                return rest + self._twostream_do_groups_batched(core)
+
+            def batched(core):
+                if not needs_jac:
+                    return batched_outputs(core), {}
+                out, vjp = jax.vjp(batched_outputs, core)
+                nout = out.shape[1]
+                seeds = jnp.broadcast_to(
+                    jnp.eye(nout, dtype=out.dtype)[:, None, :],
+                    (nout,) + out.shape,
+                )
+                grads = jax.vmap(vjp)(seeds)[0]  # dict [nout, W, ...]
+                grads = {
+                    k: jnp.moveaxis(v, 0, 1) for k, v in grads.items()
+                    if needs_leg_jac or k != "leg_coeff"
+                }
+                return out, grads
+        else:
+            batched = jax.vmap(per_wavelength)
 
         def with_precision(core):
             with jax.default_matmul_precision("highest"):

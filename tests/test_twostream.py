@@ -103,6 +103,68 @@ def test_twostream_chapman_and_f0():
     )
 
 
+def _engine_setup(ms, nstr=2, emission=False):
+    import sasktran2_tpu as sk
+
+    config = sk.Config(
+        num_streams=nstr,
+        multiple_scatter_source=ms,
+        single_scatter_source=sk.SingleScatterSource.DiscreteOrdinates,
+        num_singlescatter_moments=4,
+        emission_source=(sk.EmissionSource.DiscreteOrdinates if emission
+                         else sk.EmissionSource.NoSource),
+    )
+    geometry = sk.Geometry1D(
+        cos_sza=0.6, solar_azimuth=0.0, earth_radius_m=6372000.0,
+        altitude_grid_m=np.linspace(0, 60000, 14),
+        geometry_type=sk.GeometryType.PlaneParallel,
+    )
+    viewing = sk.ViewingGeometry()
+    viewing.add_ray(sk.GroundViewingSolar(0.6, 0.3, 0.8, 2e5))
+    viewing.add_ray(sk.GroundViewingSolar(0.6, 1.1, 0.5, 2e5))
+    return sk, config, geometry, viewing
+
+
+@pytest.mark.parametrize("emission", [False, True])
+def test_engine_twostream_fast_path_matches_generic(emission):
+    """The engine's wavelength-minor fast path (TwoStream MS) reproduces
+    the generic per-wavelength path bit-for-bit-ish, including WFs."""
+    import sasktran2_tpu as sk_mod
+    from sasktran2_tpu.climatology import add_us76_standard_atmosphere
+
+    sk, config, geometry, viewing = _engine_setup(
+        sk_mod.MultipleScatterSource.TwoStream, emission=emission
+    )
+
+    def run(force_generic):
+        engine = sk.Engine(config, geometry, viewing)
+        if force_generic:
+            engine._twostream_fast_ok = lambda: False
+        else:
+            assert engine._twostream_fast_ok()
+        atmo = sk.Atmosphere(
+            geometry, config,
+            wavelengths_nm=np.array([350.0, 550.0, 750.0]),
+        )
+        add_us76_standard_atmosphere(atmo)
+        atmo["rayleigh"] = sk.constituent.Rayleigh()
+        if emission:
+            atmo["thermal"] = sk.constituent.ThermalEmission()
+        atmo["surface"] = sk.constituent.LambertianSurface(0.3)
+        return engine.calculate_radiance(atmo)
+
+    out_fast = run(False)
+    out_gen = run(True)
+    for key in out_gen.keys():
+        a = out_fast[key].to_numpy()
+        b = out_gen[key].to_numpy()
+        # WFs are cancellation-heavy residuals: compare normalized by
+        # the per-variable magnitude (validate_wf convention)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-6, atol=1e-6 * np.abs(b).max(), err_msg=key,
+        )
+
+
 def test_twostream_jacobians_match_disco():
     """Per-wavelength Jacobians via one broadcast vjp equal the generic
     solver's per-wavelength vjp."""
