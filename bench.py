@@ -190,30 +190,51 @@ def _time_solves(fn, inputs, repeats=5):
     return times[len(times) // 2]
 
 
-def _run_case(nstr, W, chunk=None):
-    """Build + time one case; never raises (returns None on failure so one
-    OOM can't zero the whole bench)."""
-    import traceback
+def _case_twostream(W):
+    fn, inputs = _build_twostream(W)
+    dt = _time_solves(fn, inputs)
+    return W / dt
 
+
+def _case_generic(nstr, W, chunk):
+    fn, inputs = _build(nstr, W, chunk=chunk)
+    dt = _time_solves(fn, inputs)
+    return W / dt
+
+
+CASES = {
+    # name -> (thunk, timeout_s). Sizes/chunks from on-device sweeps;
+    # timeouts cover compile (cold, through the device tunnel) + 6 runs.
+    "2str_fast_32k": (lambda: _case_twostream(32768), 300),
+    "2str_fast_16k": (lambda: _case_twostream(16384), 240),
+    "2str_generic_4k": (lambda: _case_generic(2, 4096, 512), 240),
+    "16str_1k": (lambda: _case_generic(16, 1024, 16), 420),
+}
+
+
+def _run_case_subprocess(name):
+    """Run one case in a child process with a hard timeout so a
+    pathological compile or OOM can never hang/zero the whole bench
+    (round-2 lesson: the 65k-wavelength compile hung >10 min)."""
+    import os
+    import subprocess
+    import sys
+
+    timeout = CASES[name][1]
     try:
-        fn, inputs = _build(nstr, W, chunk=chunk)
-        dt = _time_solves(fn, inputs)
-        return W / dt
-    except Exception:
-        traceback.print_exc()
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--case", name],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"# case {name}: timed out after {timeout}s", flush=True)
         return None
-
-
-def _run_twostream(W):
-    import traceback
-
-    try:
-        fn, inputs = _build_twostream(W)
-        dt = _time_solves(fn, inputs)
-        return W / dt
-    except Exception:
-        traceback.print_exc()
-        return None
+    for line in res.stdout.splitlines():
+        if line.startswith("CASE_RESULT "):
+            return float(line.split()[1])
+    tail = (res.stdout + res.stderr)[-2000:]
+    print(f"# case {name}: failed rc={res.returncode}\n{tail}", flush=True)
+    return None
 
 
 def main():
@@ -221,15 +242,18 @@ def main():
     # wavelengths in the TPU lane axis; validated vs the generic solver at
     # 1e-10). The generic wavelength-leading path is reported in "extra"
     # with the chunk sizes found by on-device sweeps.
-    W = 65536
-    solves2 = _run_twostream(W)
+    W = 32768
+    solves2 = _run_case_subprocess("2str_fast_32k")
+    if solves2 is None:
+        W = 16384
+        solves2 = _run_case_subprocess("2str_fast_16k")
     if solves2 is None:  # fall back to the generic chunked path
         W = 4096
-        solves2 = _run_case(2, W, chunk=512)
+        solves2 = _run_case_subprocess("2str_generic_4k")
 
-    solves2_generic = _run_case(2, 4096, chunk=512)
+    solves2_generic = _run_case_subprocess("2str_generic_4k")
     W16 = 1024
-    solves16 = _run_case(16, W16, chunk=16)
+    solves16 = _run_case_subprocess("16str_1k")
 
     baseline_2str = 17.0  # ref CPU thread, 100 lyr, 2 str, with Jacobians
     print(
@@ -258,4 +282,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--case":
+        solves = CASES[sys.argv[2]][0]()
+        print(f"CASE_RESULT {solves}", flush=True)
+    else:
+        main()

@@ -1,0 +1,323 @@
+"""Wavelength-minor ("lane layout") linear-algebra primitives.
+
+The generic DISCO solver (``rt/disco.py``) keeps wavelength as the LEADING
+batch axis, which leaves the small stream/layer dims trailing — on TPU the
+(8, 128) register tiling then pads every [..., N, N] temporary 16-64x for
+N = nstr/2 <= 16 (measured in the round-2 bench sweeps; it forced small
+lax.map chunks + rematerialization and still OOM'd at 16 streams).
+
+These primitives keep the wavelength axis LAST so it packs into the 128
+vector lanes, and treat the small matrix dims with fully unrolled static
+loops: every operation is an elementwise FMA on [..., W] vectors, which is
+exactly what the VPU wants. They replace LAPACK ``dgeev``/``dgbsv`` in the
+reference (``cpp/lib/sktran_disco/sktran_do_rte.cpp:435-541,1640-1810``)
+for the wavelength-minor fast path.
+
+Conventions: matrix operands are ``[..., N, M, W]`` with W the lane axis;
+"mm"/"mv" contract the inner matrix dims and broadcast everything else.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .eigen import _round_masks, _tournament_schedule  # noqa: F401
+
+
+def lane_mm(a, b):
+    """Matrix-matrix product with lane-minor layout.
+
+    a [..., I, J, W] @ b [..., J, K, W] -> [..., I, K, W], unrolled over the
+    contraction dim so XLA emits a fused chain of broadcast FMAs instead of
+    transposing to a batched matmul (which would re-introduce the padded
+    W-leading layout).
+    """
+    J = a.shape[-2]
+    out = a[..., :, 0, None, :] * b[..., None, 0, :, :]
+    for j in range(1, J):
+        out = out + a[..., :, j, None, :] * b[..., None, j, :, :]
+    return out
+
+
+def lane_mv(a, v):
+    """a [..., I, J, W] @ v [..., J, W] -> [..., I, W]."""
+    return jnp.sum(a * v[..., None, :, :], axis=-2)
+
+
+def lane_t(a):
+    """Transpose the matrix dims of a lane-minor matrix [..., I, J, W]."""
+    return jnp.swapaxes(a, -3, -2)
+
+
+def lane_cholesky(a):
+    """Cholesky factor of SPD matrices in lane-minor layout.
+
+    a [..., N, N, W] -> lower-triangular L with L @ L^T = a. Fully unrolled
+    Cholesky-Banachiewicz on [..., W] vectors (N <= ~16 in the DO solver).
+    """
+    N = a.shape[-2]
+    # rows of the factor as lists of [..., W] vectors
+    ell = [[None] * N for _ in range(N)]
+    for j in range(N):
+        s = a[..., j, j, :]
+        for k in range(j):
+            s = s - ell[j][k] * ell[j][k]
+        ljj = jnp.sqrt(s)
+        ell[j][j] = ljj
+        inv = 1.0 / ljj
+        for i in range(j + 1, N):
+            s = a[..., i, j, :]
+            for k in range(j):
+                s = s - ell[i][k] * ell[j][k]
+            ell[i][j] = s * inv
+    zero = jnp.zeros_like(a[..., 0, 0, :])
+    rows = [
+        jnp.stack(
+            [ell[i][j] if j <= i else zero for j in range(N)], axis=-2
+        )
+        for i in range(N)
+    ]
+    return jnp.stack(rows, axis=-3)
+
+
+def lane_solve_lower(ell, b):
+    """Solve L x = b with L [..., N, N, W] lower-triangular,
+    b [..., N, M, W]. Unrolled forward substitution."""
+    N = ell.shape[-2]
+    xs = []
+    for i in range(N):
+        s = b[..., i, :, :]
+        for k in range(i):
+            s = s - ell[..., i, k, None, :] * xs[k]
+        xs.append(s / ell[..., i, i, None, :])
+    return jnp.stack(xs, axis=-3)
+
+
+def lane_solve_upper(u, b):
+    """Solve U x = b with U [..., N, N, W] upper-triangular,
+    b [..., N, M, W]. Unrolled back substitution."""
+    N = u.shape[-2]
+    xs = [None] * N
+    for i in range(N - 1, -1, -1):
+        s = b[..., i, :, :]
+        for k in range(i + 1, N):
+            s = s - u[..., i, k, None, :] * xs[k]
+        xs[i] = s / u[..., i, i, None, :]
+    return jnp.stack(xs, axis=-3)
+
+
+def lane_gauss_solve(a, b):
+    """Batched small-matrix solve by unrolled Gauss-Jordan elimination
+    without pivoting, lane-minor: a [..., K, K, W], b [..., K, M, W].
+
+    Same well-scaled-BVP assumption as ``linalg.gauss_solve`` (guarded by
+    the brute-force oracle tests).
+    """
+    K = a.shape[-2]
+    for i in range(K):
+        inv_p = 1.0 / a[..., i, i, :]
+        row_a = a[..., i, None, :, :] * inv_p[..., None, None, :]
+        row_b = b[..., i, None, :, :] * inv_p[..., None, None, :]
+        col = a[..., :, i, None, :]
+        mask = (jnp.arange(K) != i)[:, None, None]
+        col = jnp.where(mask, col, 0.0)
+        a = a - col * row_a
+        b = b - col * row_b
+        a = a.at[..., i, :, :].set(row_a[..., 0, :, :])
+        b = b.at[..., i, :, :].set(row_b[..., 0, :, :])
+    return b
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def lane_jacobi_eigh(a, sweeps: int | None = None):
+    """Eigendecomposition of symmetric matrices in lane-minor layout.
+
+    a [..., n, n, W] symmetric in the (-3, -2) dims. Returns
+    (eigenvalues [..., n, W] UNSORTED, eigenvectors [..., n, n, W]).
+    Same tournament-Jacobi scheme as ``ops.eigen.jacobi_eigh`` (rotations
+    are gathers + FMAs along the matrix dims, elementwise over lanes) and
+    the same implicit eigh adjoint for differentiation.
+    """
+    return _lane_jacobi_impl(a, sweeps)
+
+
+def _lane_jacobi_fwd(a, sweeps):
+    out = _lane_jacobi_impl(a, sweeps)
+    return out, out
+
+
+def _lane_jacobi_bwd(sweeps, res, cotangents):
+    w, v = res
+    wbar, vbar = cotangents
+    vtvbar = lane_mm(lane_t(v), vbar)
+    dw = w[..., None, :, :] - w[..., :, None, :]  # F_ij = 1/(w_j - w_i)
+    small = jnp.abs(dw) < 1e-30
+    f = jnp.where(small, 0.0, 1.0 / jnp.where(small, 1.0, dw))
+    mid = f * vtvbar
+    idx = jnp.arange(w.shape[-2])
+    mid = mid.at[..., idx, idx, :].set(wbar)
+    abar = lane_mm(lane_mm(v, mid), lane_t(v))
+    abar = 0.5 * (abar + lane_t(abar))
+    return (abar,)
+
+
+def _lane_jacobi_impl(a, sweeps=None):
+    n = a.shape[-2]
+    if n == 1:
+        return a[..., 0, :], jnp.ones_like(a)
+    odd = n % 2 == 1
+    if odd:
+        pad_val = 2.0 * jnp.max(
+            jnp.abs(a), axis=(-3, -2), keepdims=True
+        )
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 3) + [(0, 1), (0, 1), (0, 0)])
+        a = a.at[..., n, n, :].set(pad_val[..., 0, 0, :])
+        npad = n + 1
+    else:
+        npad = n
+
+    if sweeps is None:
+        sweeps = 7 if a.dtype == jnp.float32 else 10
+
+    rounds = _tournament_schedule(npad)
+    eye = jnp.eye(npad, dtype=a.dtype)[..., None]
+    v = jnp.broadcast_to(eye, a.shape)
+
+    perms = []
+    signs = []
+    pair_of = []
+    for pairs in rounds:
+        perm = np.empty(npad, dtype=np.int32)
+        sign = np.empty(npad, dtype=np.float64)
+        pidx = np.empty(npad, dtype=np.int32)
+        for k, (p, q) in enumerate(pairs):
+            perm[p], perm[q] = q, p
+            sign[p], sign[q] = 1.0, -1.0
+            pidx[p] = pidx[q] = k
+        perms.append(perm)
+        signs.append(sign)
+        pair_of.append(pidx)
+
+    for _sweep in range(sweeps):
+        for r, pairs in enumerate(rounds):
+            p = np.array([pp for pp, _ in pairs])
+            q = np.array([qq for _, qq in pairs])
+            perm = perms[r]
+            sign = jnp.asarray(signs[r], dtype=a.dtype)[:, None]
+            app = a[..., p, p, :]  # [..., n/2, W]
+            aqq = a[..., q, q, :]
+            apq = a[..., p, q, :]
+            theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+            c_full = jnp.cos(theta)[..., pair_of[r], :]  # [..., n, W]
+            s_full = jnp.sin(theta)[..., pair_of[r], :]
+            coeff = -sign * s_full
+            # columns then rows then eigenvector columns (gather + FMA)
+            a = (
+                a * c_full[..., None, :, :]
+                + jnp.take(a, perm, axis=-2) * coeff[..., None, :, :]
+            )
+            a = (
+                a * c_full[..., :, None, :]
+                + jnp.take(a, perm, axis=-3) * coeff[..., :, None, :]
+            )
+            v = (
+                v * c_full[..., None, :, :]
+                + jnp.take(v, perm, axis=-2) * coeff[..., None, :, :]
+            )
+        a = 0.5 * (a + jnp.swapaxes(a, -3, -2))
+
+    idx = jnp.arange(npad)
+    eigvals = a[..., idx, idx, :]
+    if odd:
+        eigvals = eigvals[..., :n, :]
+        v = v[..., :n, :n, :]
+    return eigvals, v
+
+
+lane_jacobi_eigh.defvjp(_lane_jacobi_fwd, _lane_jacobi_bwd)
+
+
+def lane_block_tridiag_solve(lower, diag, upper, rhs):
+    """Block-tridiagonal solve in lane-minor layout via block cyclic
+    reduction (mirrors ``linalg.block_tridiag_solve_cr``).
+
+    lower/diag/upper [..., P, K, K, W], rhs [..., P, K, W] with the layer
+    axis at -4 (vectors: -3). ``lower[0]`` / ``upper[P-1]`` ignored.
+    Returns x [..., P, K, W].
+    """
+    P = diag.shape[-4]
+    K = diag.shape[-2]
+    W = diag.shape[-1]
+    batch = jnp.broadcast_shapes(diag.shape[:-4], rhs.shape[:-3])
+    dt = jnp.result_type(diag.dtype, rhs.dtype)
+
+    lo = jnp.broadcast_to(lower, batch + (P, K, K, W)).astype(dt)
+    di = jnp.broadcast_to(diag, batch + (P, K, K, W)).astype(dt)
+    up = jnp.broadcast_to(upper, batch + (P, K, K, W)).astype(dt)
+    r = jnp.broadcast_to(rhs, batch + (P, K, W)).astype(dt)
+
+    P2 = 1 << (P - 1).bit_length()
+    if P2 != P:
+        pad = P2 - P
+        eye = jnp.broadcast_to(
+            jnp.eye(K, dtype=dt)[..., None], batch + (pad, K, K, W)
+        )
+        zkk = jnp.zeros(batch + (pad, K, K, W), dtype=dt)
+        zk = jnp.zeros(batch + (pad, K, W), dtype=dt)
+        lo = jnp.concatenate([lo, zkk], axis=-4)
+        di = jnp.concatenate([di, eye], axis=-4)
+        up = jnp.concatenate([up, zkk], axis=-4)
+        r = jnp.concatenate([r, zk], axis=-3)
+
+    levels = []
+    n = P2
+    while n > 1:
+        lo_o = lo[..., 1::2, :, :, :]
+        di_o = di[..., 1::2, :, :, :]
+        up_o = up[..., 1::2, :, :, :]
+        r_o = r[..., 1::2, :, :]
+        stacked = jnp.concatenate(
+            [lo_o, up_o, r_o[..., None, :]], axis=-2
+        )
+        sol = lane_gauss_solve(di_o, stacked)
+        dinv_l = sol[..., :K, :]
+        dinv_u = sol[..., K : 2 * K, :]
+        dinv_r = sol[..., 2 * K, :]
+        levels.append((dinv_l, dinv_u, dinv_r))
+
+        lo_e = lo[..., 0::2, :, :, :]
+        di_e = di[..., 0::2, :, :, :]
+        up_e = up[..., 0::2, :, :, :]
+        r_e = r[..., 0::2, :, :]
+        zkk1 = jnp.zeros_like(dinv_l[..., :1, :, :, :])
+        zk1 = jnp.zeros_like(dinv_r[..., :1, :, :])
+        dinv_l_b = jnp.concatenate(
+            [zkk1, dinv_l[..., :-1, :, :, :]], axis=-4
+        )
+        dinv_u_b = jnp.concatenate(
+            [zkk1, dinv_u[..., :-1, :, :, :]], axis=-4
+        )
+        dinv_r_b = jnp.concatenate([zk1, dinv_r[..., :-1, :, :]], axis=-3)
+
+        di = di_e - lane_mm(lo_e, dinv_u_b) - lane_mm(up_e, dinv_l)
+        r = r_e - lane_mv(lo_e, dinv_r_b) - lane_mv(up_e, dinv_r)
+        lo = -lane_mm(lo_e, dinv_l_b)
+        up = -lane_mm(up_e, dinv_u)
+        n //= 2
+
+    x = lane_gauss_solve(di, r[..., None, :])[..., 0, :]  # [..., 1, K, W]
+
+    for dinv_l, dinv_u, dinv_r in reversed(levels):
+        m = x.shape[-3]
+        x_above = jnp.concatenate(
+            [x[..., 1:, :, :], jnp.zeros_like(x[..., :1, :, :])], axis=-3
+        )
+        x_odd = dinv_r - lane_mv(dinv_l, x) - lane_mv(dinv_u, x_above)
+        inter = jnp.stack([x, x_odd], axis=-3)  # [..., m, 2, K, W]
+        x = inter.reshape(x.shape[:-3] + (2 * m, K, W))
+
+    return x[..., :P, :, :]
