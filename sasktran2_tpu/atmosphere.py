@@ -217,13 +217,22 @@ class Atmosphere:
             config.spectral_grid_mode
             == SpectralGridMode.AtmosphereIntegratedLineShape
         )
+        # EngineIntegratedLineShape: the ENGINE runs on the fine grid and
+        # the output radiances/WFs are mapped onto the output basis
+        # afterwards (reference rebasis grid mapping,
+        # ``rust/rebasis/src/grid.rs:64``, applied at engine output)
+        self._engine_lineshape = (
+            config.spectral_grid_mode
+            == SpectralGridMode.EngineIntegratedLineShape
+        )
         self._spectral_grid = spectral_grid
         self._spectral_reduce = None
-        if self._integrated_lineshape:
+        if self._integrated_lineshape or self._engine_lineshape:
             if spectral_grid is None:
                 msg = (
-                    "SpectralGridMode.AtmosphereIntegratedLineShape requires "
-                    "a spectral_grid (output basis) on the Atmosphere"
+                    f"SpectralGridMode.{config.spectral_grid_mode.name} "
+                    "requires a spectral_grid (output basis) on the "
+                    "Atmosphere"
                 )
                 raise ValueError(msg)
             if wavelengths_nm is None and wavenumbers_cminv is None:
@@ -260,7 +269,7 @@ class Atmosphere:
         else:
             nalt = model_geometry.num_altitudes
         nleg = max(config.num_streams, config.num_singlescatter_moments)
-        if self._integrated_lineshape:
+        if self._integrated_lineshape or self._engine_lineshape:
             # constituents evaluate on the fine grid; the storage is reduced
             # onto the output basis grid after the pipeline (reference
             # ``rust/sasktran2-rs/src/optical/traits.rs:59-76``:

@@ -1,5 +1,5 @@
 from .base import Constituent
-from .brdf import MODIS, LambertianSurface, SnowKokhanovsky
+from .brdf import MODIS, LambertianSurface, SnowKokhanovsky, WeightedBRDF
 from .emission import (
     LineListVolumeEmissionRate,
     PopulationEmissionRate,
@@ -33,6 +33,7 @@ MonochromaticVolumeEmissionRate = VolumeEmissionRate
 __all__ = [
     "MODIS",
     "SnowKokhanovsky",
+    "WeightedBRDF",
     "AirMassFactor",
     "CollisionInducedAbsorber",
     "Constituent",

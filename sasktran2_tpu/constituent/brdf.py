@@ -67,6 +67,116 @@ class SnowKokhanovsky(Constituent):
         m.d_brdf[:, 0] = (self.chi + self.M) / atmo.wavelengths_nm
 
 
+class WeightedBRDF(Constituent):
+    """Linear combination of BRDF constituents (reference ``WeightedBRDF``,
+    ``surface.h:99``): ``WeightedBRDF({"snow": (SnowKokhanovsky(), 0.7),
+    "soil": (MODIS(...), 0.3)})``. Weights may be scalars or per-wavelength
+    arrays; weighting functions are produced for each member's parameters
+    (scaled by its weight) and for each weight itself."""
+
+    def __init__(self, members: dict):
+        self.members = {
+            name: (c, np.atleast_1d(np.asarray(w, dtype=np.float64)))
+            for name, (c, w) in members.items()
+        }
+
+    def _weights_on_grid(self, atmo):
+        W = atmo.num_wavelengths
+        return {
+            name: np.broadcast_to(w, (W,)).copy()
+            for name, (_, w) in self.members.items()
+        }
+
+    def add_to_atmosphere(self, atmo):
+        from ..rt.brdf import LambertianKernel, WeightedKernel
+
+        kernels = []
+        args_list = []
+        self._member_arg_offsets = {}
+        off = 0
+        W = atmo.num_wavelengths
+        for name, (c, _) in self.members.items():
+            # materialize each member's kernel+args via a scratch surface
+            scratch = _ScratchSurface(W)
+            c.add_to_atmosphere(_ScratchAtmo(atmo, scratch))
+            if scratch.brdf is None:
+                # Lambertian member: albedo as a 1-arg kernel
+                kernels.append(LambertianKernel())
+                args_list.append(scratch.albedo[:, None])
+            else:
+                kernels.append(scratch.brdf)
+                args_list.append(scratch.brdf_args)
+            self._member_arg_offsets[name] = (off, args_list[-1].shape[1])
+            off += args_list[-1].shape[1]
+        weights = self._weights_on_grid(atmo)
+        warr = np.stack([weights[n] for n in self.members], axis=-1)
+        atmo.surface.brdf = WeightedKernel(kernels)
+        atmo.surface.brdf_args = np.concatenate(args_list + [warr], axis=-1)
+        self._n_member_args = off
+
+    def register_derivative(self, atmo, name: str):
+        ntot = self._n_member_args + len(self.members)
+        weights = self._weights_on_grid(atmo)
+        for i, mname in enumerate(self.members):
+            # d/d weight_i
+            m = atmo.surface.get_derivative_mapping(
+                f"wf_{name}_{mname}_weight"
+            )
+            m.d_brdf = np.zeros((atmo.num_wavelengths, ntot))
+            m.d_brdf[:, self._n_member_args + i] = 1.0
+            # member parameter WFs: chain through the member's own
+            # register_derivative on a scratch surface, remapped into the
+            # concatenated arg layout
+            c, _ = self.members[mname]
+            scratch = _ScratchSurface(atmo.num_wavelengths)
+            c.add_to_atmosphere(_ScratchAtmo(atmo, scratch))
+            c.register_derivative(_ScratchAtmo(atmo, scratch), mname)
+            off, width = self._member_arg_offsets[mname]
+            for dname, dm in scratch._derivative_mappings.items():
+                out_m = atmo.surface.get_derivative_mapping(
+                    f"wf_{name}_{dname.removeprefix('wf_')}"
+                )
+                out_m.d_brdf = np.zeros((atmo.num_wavelengths, ntot))
+                d = dm.d_brdf
+                if d.shape[1] == width:
+                    out_m.d_brdf[:, off:off + width] = d
+                else:  # Lambertian member: single albedo arg
+                    out_m.d_brdf[:, off] = d[:, 0]
+                out_m.interp_dim = dm.interp_dim
+
+
+class _ScratchSurface:
+    """Minimal Surface stand-in for materializing a member BRDF."""
+
+    def __init__(self, nwavel):
+        self.albedo = np.zeros(nwavel)
+        self.emission = np.zeros(nwavel)
+        self.brdf = None
+        self.brdf_args = None
+        self._derivative_mappings = {}
+
+    def get_derivative_mapping(self, name):
+        from ..atmosphere import SurfaceDerivativeMapping
+
+        if name not in self._derivative_mappings:
+            nargs = 1 if self.brdf is None else self.brdf_args.shape[1]
+            self._derivative_mappings[name] = SurfaceDerivativeMapping(
+                len(self.albedo), nargs
+            )
+        return self._derivative_mappings[name]
+
+
+class _ScratchAtmo:
+    """Proxy exposing the real atmosphere's grids with a scratch surface."""
+
+    def __init__(self, atmo, surface):
+        self._atmo = atmo
+        self.surface = surface
+
+    def __getattr__(self, item):
+        return getattr(self._atmo, item)
+
+
 class MODIS(Constituent):
     """MODIS RossThick-LiSparse kernel surface (reference
     ``constituent/brdf/modis.py``)."""

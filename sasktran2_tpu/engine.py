@@ -882,14 +882,15 @@ class Engine:
 
     # ------------------------------------------------------------------
     def _twostream_fast_ok(self):
-        """The wavelength-minor two-stream fast path applies when every
-        multiple-scatter contribution is a plane-parallel nstr=2 DO-group
-        solve with a Lambertian surface (scalar radiance)."""
+        """The wavelength-minor fast path applies when every multiple-
+        scatter contribution is a plane-parallel DO-group solve with a
+        Lambertian surface (scalar radiance). nstr=2 groups dispatch to the
+        closed-form two-stream solver (``rt/twostream.py``); nstr>2 groups
+        to the scan-based N-stream solver (``rt/disco_nstream.py``)."""
         return (
             not self._is_2d
             and self._config.num_stokes == 1
             and self._needs_do
-            and self._do_nstr == 2
             and bool(self._do_groups)
             and not self._limb_groups
             and not self._flux_groups
@@ -899,10 +900,12 @@ class Engine:
 
     def _twostream_do_groups_batched(self, core):
         """All DO-group radiances for the whole wavelength batch via the
-        wavelength-minor two-stream solver (``rt/twostream.py``). core
-        arrays are wavelength-leading; returns [W, nlos] with zeros at
-        rays not covered by a DO group."""
+        wavelength-minor solvers (``rt/twostream.py`` at nstr=2,
+        ``rt/disco_nstream.py`` otherwise). core arrays are wavelength-
+        leading; returns [W, nlos] with zeros at rays not covered by a DO
+        group."""
         from .config import EmissionSource
+        from .rt.disco_nstream import solve_nstream
         from .rt.twostream import solve_twostream
 
         cfg = self._config
@@ -934,7 +937,8 @@ class Engine:
         W = ext.shape[0]
         rad = jnp.zeros((W, len(self._rays)), dtype=ext.dtype)
         for idx, tables, user_up, user_azi in self._do_groups:
-            r = solve_twostream(
+            solver = solve_twostream if self._do_nstr == 2 else solve_nstream
+            r = solver(
                 dtau_t, omega_t, beta_t, alb, tables, user_up, user_azi,
                 include_ss=self._do_include_ss,
                 chapman=chapman.get(tables.mu0),
@@ -1086,6 +1090,23 @@ class Engine:
             out["los_optical_depth"] = DataArray(
                 np.asarray(od), ("wavelength", "los")
             )
+
+        if getattr(atmosphere, "_engine_lineshape", False):
+            # EngineIntegratedLineShape: the engine ran on the fine grid;
+            # map every wavelength-dimensioned output onto the output basis
+            # (reference rebasis mapping_matrix, rust/rebasis/src/grid.rs:64)
+            M = atmosphere._spectral_reduce  # [Wo, Wf]
+            for vname in list(out.keys()):
+                da = out[vname]
+                if "wavelength" not in da.dims:
+                    continue
+                ax = da.dims.index("wavelength")
+                vals = np.moveaxis(
+                    np.tensordot(M, np.moveaxis(da.to_numpy(), ax, 0),
+                                 axes=1),
+                    0, ax,
+                )
+                out[vname] = DataArray(vals, da.dims)
 
         from .viewinggeo import ViewingGeometryContainer
 

@@ -163,6 +163,10 @@ def _jacobi_eigh_impl(a, sweeps=None):
             aqq = a[..., q, q]
             apq = a[..., p, q]
             theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)  # [..., n/2]
+            # Exactly-zero pivots must NOT rotate: arctan2(0, negative) = pi
+            # gives theta = pi/2, a swap that scatters the isolated odd-n
+            # pad entry into the live block and corrupts the sliced output.
+            theta = jnp.where(apq == 0.0, 0.0, theta)
             c_full = jnp.cos(theta)[..., pair_of[r]]  # [..., n]
             s_full = jnp.sin(theta)[..., pair_of[r]]
             coeff = -sign * s_full
@@ -171,7 +175,6 @@ def _jacobi_eigh_impl(a, sweeps=None):
             a = a * c_full[..., :, None] + a[..., perm, :] * coeff[..., :, None]
             v = v * c_full[..., None, :] + v[..., :, perm] * coeff[..., None, :]
         a = 0.5 * (a + jnp.swapaxes(a, -1, -2))
-    a_f, v_f = a, v
     a_f, v_f = a, v
 
     eigvals = jnp.diagonal(a_f, axis1=-2, axis2=-1)

@@ -212,6 +212,10 @@ def _lane_jacobi_impl(a, sweeps=None):
             aqq = a[..., q, q, :]
             apq = a[..., p, q, :]
             theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+            # Exactly-zero pivots must not rotate (see ops/eigen.py: the
+            # odd-n pad entry would otherwise get swapped into the live
+            # block by an arctan2(0, negative) = pi rotation).
+            theta = jnp.where(apq == 0.0, 0.0, theta)
             c_full = jnp.cos(theta)[..., pair_of[r], :]  # [..., n, W]
             s_full = jnp.sin(theta)[..., pair_of[r], :]
             coeff = -sign * s_full
@@ -239,6 +243,254 @@ def _lane_jacobi_impl(a, sweeps=None):
 
 
 lane_jacobi_eigh.defvjp(_lane_jacobi_fwd, _lane_jacobi_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Scan-based variants: O(1) HLO size in sweeps/rounds/layers.
+#
+# The fully unrolled primitives above emit HLO proportional to
+# sweeps x rounds (Jacobi) and log2(P) x K (cyclic reduction); at nstr=16,
+# P=100 the N-stream solver graph grew so large that XLA could not finish
+# compiling within 10 minutes (round-2 verdict). These variants express the
+# same math with lax.scan / lax.fori_loop so the traced graph stays small
+# and compile time is flat in problem size; the per-step bodies still
+# operate on full [..., n, n, W] lane-minor tiles, so the device work is
+# identical.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _stacked_round_tables(npad: int):
+    """Stack the tournament round tables into [R, ...] numpy arrays for use
+    as lax.scan inputs: (p [R, n/2], q [R, n/2], perm [R, n], sign [R, n],
+    pair_of [R, n])."""
+    rounds = _tournament_schedule(npad)
+    R = len(rounds)
+    p_t = np.empty((R, npad // 2), dtype=np.int32)
+    q_t = np.empty((R, npad // 2), dtype=np.int32)
+    perm_t = np.empty((R, npad), dtype=np.int32)
+    sign_t = np.empty((R, npad), dtype=np.float64)
+    pair_t = np.empty((R, npad), dtype=np.int32)
+    for r, pairs in enumerate(rounds):
+        for k, (p, q) in enumerate(pairs):
+            p_t[r, k] = p
+            q_t[r, k] = q
+            perm_t[r, p], perm_t[r, q] = q, p
+            sign_t[r, p], sign_t[r, q] = 1.0, -1.0
+            pair_t[r, p] = pair_t[r, q] = k
+    return p_t, q_t, perm_t, sign_t, pair_t
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def lane_jacobi_eigh_scan(a, sweeps: int | None = None):
+    """Same contract as ``lane_jacobi_eigh`` (symmetric [..., n, n, W] ->
+    unsorted eigenvalues [..., n, W] + eigenvectors [..., n, n, W]) with the
+    sweep/round loops as lax.scan, so the HLO graph is O(1) in n and
+    sweeps. Backward pass is the same implicit eigh adjoint."""
+    return _lane_jacobi_scan_impl(a, sweeps)
+
+
+def _lane_jacobi_scan_fwd(a, sweeps):
+    out = _lane_jacobi_scan_impl(a, sweeps)
+    return out, out
+
+
+lane_jacobi_eigh_scan.defvjp(_lane_jacobi_scan_fwd, _lane_jacobi_bwd)
+
+
+def _lane_jacobi_scan_impl(a, sweeps=None):
+    n = a.shape[-2]
+    if n == 1:
+        return a[..., 0, :], jnp.ones_like(a)
+    odd = n % 2 == 1
+    if odd:
+        pad_val = 2.0 * jnp.max(jnp.abs(a), axis=(-3, -2), keepdims=True)
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 3) + [(0, 1), (0, 1), (0, 0)])
+        a = a.at[..., n, n, :].set(pad_val[..., 0, 0, :])
+        npad = n + 1
+    else:
+        npad = n
+
+    if sweeps is None:
+        sweeps = 7 if a.dtype == jnp.float32 else 10
+
+    p_t, q_t, perm_t, sign_t, pair_t = _stacked_round_tables(npad)
+    xs = (
+        jnp.asarray(p_t),
+        jnp.asarray(q_t),
+        jnp.asarray(perm_t),
+        jnp.asarray(sign_t, dtype=a.dtype),
+        jnp.asarray(pair_t),
+    )
+
+    eye = jnp.eye(npad, dtype=a.dtype)[..., None]
+    v0 = jnp.broadcast_to(eye, a.shape)
+
+    def round_body(carry, x):
+        a_c, v_c = carry
+        p, q, perm, sign, pair = x
+        d = jnp.moveaxis(
+            jnp.diagonal(a_c, axis1=-3, axis2=-2), -1, -2
+        )                                                   # [..., n, W]
+        app = jnp.take(d, p, axis=-2)                       # [..., n/2, W]
+        aqq = jnp.take(d, q, axis=-2)
+        rows = jnp.take(a_c, p, axis=-3)                    # [..., n/2, n, W]
+        idxq = jnp.broadcast_to(
+            q.reshape((1,) * (rows.ndim - 3) + (-1, 1, 1)),
+            rows.shape[:-2] + (1, rows.shape[-1]),
+        )
+        apq = jnp.take_along_axis(rows, idxq, axis=-2)[..., 0, :]
+        theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+        # exactly-zero pivots must not rotate (odd-n pad isolation)
+        theta = jnp.where(apq == 0.0, 0.0, theta)
+        c_full = jnp.take(jnp.cos(theta), pair, axis=-2)    # [..., n, W]
+        s_full = jnp.take(jnp.sin(theta), pair, axis=-2)
+        coeff = -sign[:, None] * s_full
+        a_c = (
+            a_c * c_full[..., None, :, :]
+            + jnp.take(a_c, perm, axis=-2) * coeff[..., None, :, :]
+        )
+        a_c = (
+            a_c * c_full[..., :, None, :]
+            + jnp.take(a_c, perm, axis=-3) * coeff[..., :, None, :]
+        )
+        v_c = (
+            v_c * c_full[..., None, :, :]
+            + jnp.take(v_c, perm, axis=-2) * coeff[..., None, :, :]
+        )
+        return (a_c, v_c), None
+
+    def sweep_body(carry, _):
+        carry, _ = jax.lax.scan(round_body, carry, xs)
+        a_c, v_c = carry
+        a_c = 0.5 * (a_c + jnp.swapaxes(a_c, -3, -2))
+        return (a_c, v_c), None
+
+    (a, v), _ = jax.lax.scan(sweep_body, (a, v0), None, length=sweeps)
+
+    idx = jnp.arange(npad)
+    eigvals = a[..., idx, idx, :]
+    if odd:
+        eigvals = eigvals[..., :n, :]
+        v = v[..., :n, :n, :]
+    return eigvals, v
+
+
+def _thomas_forward(lo, di, up, r):
+    """Block-Thomas forward elimination + back substitution via lax.scan.
+
+    lo/di/up [P, K, K, W] (layer axis LEADING — scan axis), r [P, K, W].
+    No pivoting (same well-scaled-BVP assumption as lane_gauss_solve).
+    Returns x [P, K, W].
+    """
+    K = di.shape[-3]
+
+    def fwd(carry, x):
+        c_prev, y_prev = carry
+        lo_i, di_i, up_i, r_i = x
+        denom = di_i - lane_mm(lo_i, c_prev)
+        rhs_i = r_i - lane_mv(lo_i, y_prev)
+        stacked = jnp.concatenate([up_i, rhs_i[..., None, :]], axis=-2)
+        sol = lane_gauss_solve(denom, stacked)
+        c_i = sol[..., :K, :]
+        y_i = sol[..., K, :]
+        return (c_i, y_i), (c_i, y_i)
+
+    c0 = jnp.zeros_like(di[0])
+    y0 = jnp.zeros_like(r[0])
+    _, (cs, ys) = jax.lax.scan(fwd, (c0, y0), (lo, di, up, r))
+
+    def back(x_next, x):
+        c_i, y_i = x
+        x_i = y_i - lane_mv(c_i, x_next)
+        return x_i, x_i
+
+    _, xs = jax.lax.scan(back, jnp.zeros_like(y0), (cs, ys), reverse=True)
+    return xs
+
+
+@jax.custom_vjp
+def lane_block_thomas_solve(lower, diag, upper, rhs):
+    """Block-tridiagonal solve, scan-based (compile-time O(1) in P).
+
+    Same contract as ``lane_block_tridiag_solve``: lower/diag/upper
+    [..., P, K, K, W] with the layer axis at -4, rhs [..., P, K, W];
+    ``lower[0]`` / ``upper[P-1]`` ignored. Backward pass uses the linear-
+    system adjoint (one transposed Thomas solve + outer products) instead of
+    differentiating through the scans, so AD holds no per-step residuals.
+    """
+    lo, di, up, r = _thomas_broadcast(lower, diag, upper, rhs)
+    return _thomas_batched(lo, di, up, r)
+
+
+def _thomas_broadcast(lower, diag, upper, rhs):
+    P, K, _, W = diag.shape[-4:]
+    batch = jnp.broadcast_shapes(diag.shape[:-4], rhs.shape[:-3])
+    dt = jnp.result_type(diag.dtype, rhs.dtype)
+    lo = jnp.broadcast_to(lower, batch + (P, K, K, W)).astype(dt)
+    di = jnp.broadcast_to(diag, batch + (P, K, K, W)).astype(dt)
+    up = jnp.broadcast_to(upper, batch + (P, K, K, W)).astype(dt)
+    r = jnp.broadcast_to(rhs, batch + (P, K, W)).astype(dt)
+    return lo, di, up, r
+
+
+def _thomas_batched(lo, di, up, r):
+    """Run the scan with the layer axis moved to the front and any batch
+    dims folded into the body (scan carries the full batch)."""
+    x = _thomas_forward(
+        jnp.moveaxis(lo, -4, 0),
+        jnp.moveaxis(di, -4, 0),
+        jnp.moveaxis(up, -4, 0),
+        jnp.moveaxis(r, -3, 0),
+    )
+    return jnp.moveaxis(x, 0, -3)
+
+
+def _thomas_fwd(lower, diag, upper, rhs):
+    lo, di, up, r = _thomas_broadcast(lower, diag, upper, rhs)
+    x = _thomas_batched(lo, di, up, r)
+    return x, (lo, di, up, x, (lower.shape, diag.shape, upper.shape,
+                               rhs.shape))
+
+
+def _thomas_bwd(res, xbar):
+    lo, di, up, x, in_shapes = res
+    lo_s, di_s, up_s, r_s = in_shapes
+    # T^T lam = xbar:  (T^T)_{i,i-1} = up_{i-1}^T, (T^T)_{i,i+1} = lo_{i+1}^T
+    lo_t = jnp.roll(lane_t(up), 1, axis=-4)
+    up_t = jnp.roll(lane_t(lo), -1, axis=-4)
+    lam = _thomas_batched(lo_t, lane_t(di), up_t, xbar)
+    rbar = lam
+    # block cotangents: A_bar = -lam_i x_j^T for block (i, j)
+    di_bar = -lam[..., :, None, :] * x[..., None, :, :]
+    x_prev = jnp.roll(x, 1, axis=-3)
+    x_next = jnp.roll(x, -1, axis=-3)
+    lo_bar = -lam[..., :, None, :] * x_prev[..., None, :, :]
+    up_bar = -lam[..., :, None, :] * x_next[..., None, :, :]
+    # first/last blocks are ignored by the primal — zero their cotangents
+    P = x.shape[-3]
+    idx = jnp.arange(P)
+    lo_bar = jnp.where((idx == 0)[:, None, None, None], 0.0, lo_bar)
+    up_bar = jnp.where((idx == P - 1)[:, None, None, None], 0.0, up_bar)
+
+    def unbcast(g, shape):
+        extra = g.ndim - len(shape)
+        axes = tuple(range(extra)) + tuple(
+            i + extra for i, s in enumerate(shape) if s == 1 and
+            g.shape[i + extra] != 1
+        )
+        g = jnp.sum(g, axis=axes, keepdims=False)
+        return g.reshape(shape)
+
+    return (
+        unbcast(lo_bar, lo_s),
+        unbcast(di_bar, di_s),
+        unbcast(up_bar, up_s),
+        unbcast(rbar, r_s),
+    )
+
+
+lane_block_thomas_solve.defvjp(_thomas_fwd, _thomas_bwd)
 
 
 def lane_block_tridiag_solve(lower, diag, upper, rhs):

@@ -65,6 +65,35 @@ class SnowKokhanovskyKernel:
         )
 
 
+class WeightedKernel:
+    """Linear combination of BRDF kernels (reference ``WeightedBRDF``,
+    ``surface.h:99`` — declared there but left as an empty stub; this is a
+    functional implementation).
+
+    args layout: [..., sum(num_args_i) + K] = the member kernels' args
+    concatenated in order, followed by the K mixing weights. Weights enter
+    linearly, so weighting functions w.r.t. both the member args and the
+    weights flow through autodiff unchanged.
+    """
+
+    def __init__(self, kernels):
+        self.kernels = list(kernels)
+        self.num_args = sum(k.num_args for k in self.kernels) + len(
+            self.kernels
+        )
+
+    def kernel(self, mu_out, mu_in, phi, args):
+        n_member = sum(k.num_args for k in self.kernels)
+        out = 0.0
+        off = 0
+        for i, k in enumerate(self.kernels):
+            sub = args[..., off:off + k.num_args]
+            w = args[..., n_member + i][..., None, None, None]
+            out = out + w * k.kernel(mu_out, mu_in, phi, sub)
+            off += k.num_args
+        return out
+
+
 class MODISKernel:
     """MODIS RossThick + LiSparse-Reciprocal kernel BRDF (reference
     ``surface.h:246-360``). args: [..., 3] = (f_iso, f_vol, f_geo)."""

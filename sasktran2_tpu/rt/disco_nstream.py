@@ -24,10 +24,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from ..ops.lanes import (
-    lane_block_tridiag_solve,
+    lane_block_thomas_solve,
     lane_cholesky,
-    lane_jacobi_eigh,
+    lane_jacobi_eigh_scan,
     lane_mm,
     lane_solve_upper,
     lane_t,
@@ -59,13 +61,14 @@ def _mode_radiance(
     dtau, omega, beta, t_top, sbar, t_ground,
     albedo, mu, w, mu0, user_mu, user_up, include_ss, f0, thermal,
 ):
-    """One azimuth mode, wavelength-minor. lam [L, N] etc are static numpy
-    tables for this mode. Returns radiance [U, W]."""
+    """One azimuth mode, wavelength-minor. lam [L, N] / lam_sun [L] /
+    lam_user [L, U] / parity [L] may be traced (lax.scan over modes) or
+    static. Returns radiance [U, W]."""
     dt = dtau.dtype
     N = len(mu)
     P = dtau.shape[0]
     omega = jnp.minimum(omega, SSA_CEILING)
-    even = (parity > 0).astype(np.float64)
+    even = (parity > 0).astype(dt)
 
     # --- symmetrized layer matrices (disco._assemble_symmetric) ---------
     ll = lam[:, :, None] * lam[:, None, :]              # [L, N, N]
@@ -82,7 +85,7 @@ def _mode_radiance(
     chol = lane_cholesky(b_hat)
     m_sym = lane_mm(lane_mm(lane_t(chol), a_hat), chol)
     m_sym = 0.5 * (m_sym + lane_t(m_sym))
-    k2, v = lane_jacobi_eigh(m_sym)
+    k2, v = lane_jacobi_eigh_scan(m_sym)
     k = jnp.sqrt(jnp.maximum(k2, KMIN * KMIN))          # [P, A, W]
     f_hat = lane_solve_upper(lane_t(chol), v)
     g_hat = lane_mm(chol, v) / k[..., None, :, :]
@@ -163,9 +166,10 @@ def _mode_radiance(
     ground_thermal = (
         is_m0 * (1.0 - albedo) * thermal[2] if thermal is not None else 0.0
     )
-    ground_direct_scalar = (
-        (ground_sun if include_ss else 0.0 * ground_sun) + ground_thermal
-    )
+    # BVP drive is UNGATED by include_ss: beam->ground->rescatter is a
+    # multiple-scatter path (matches disco._solve_one_mode; the include_ss
+    # gate applies only to the user-direction ground_up term below).
+    ground_direct_scalar = ground_sun + ground_thermal
     ground_direct = ground_direct_scalar[None, :] * jnp.ones(
         (N, 1), dtype=dt
     )                                                   # [N, W]
@@ -213,13 +217,13 @@ def _mode_radiance(
     )
     rhs = jnp.concatenate([rhs_top, rhs_bot], axis=-2)  # [P, 2N, W]
 
-    sol = lane_block_tridiag_solve(lower, diag_blocks, upper, rhs)
+    sol = lane_block_thomas_solve(lower, diag_blocks, upper, rhs)
     coeff_l = sol[..., :N, :]                           # [P, N(A), W]
     coeff_m = sol[..., N:, :]
 
     # --- post-processing (disco._postprocess_mode, lane-minor) ----------
     # t1[p, l, a, w] = sum_j w_j lam_lj X_jaw ; t2 with Y
-    lamw = jnp.asarray(lam * w[None, :], dtype=dt)      # [L, N]
+    lamw = lam * jnp.asarray(w, dtype=dt)[None, :]      # [L, N]
     t1 = jnp.einsum("lj,pjaw->plaw", lamw, x)
     t2 = jnp.einsum("lj,pjaw->plaw", lamw, y)
     par = jnp.asarray(parity, dtype=dt)[None, :, None, None]
@@ -404,18 +408,32 @@ def solve_nstream(
     else:
         thermal = None
 
-    rad = 0.0
-    for m in range(M):
+    # scan over azimuth modes with stacked static tables: the traced graph
+    # holds ONE mode body regardless of M, which is what keeps nstr=16
+    # compile time flat (round-2 lesson: unrolling 16 modes of the unrolled
+    # lane kernels produced an HLO graph XLA could not compile in 10 min)
+    xs = (
+        jnp.arange(M),
+        jnp.asarray(np.asarray(tables.lam_stream[:M, :luse]), dtype=dt),
+        jnp.asarray(np.asarray(tables.lam_sun[:M, :luse]), dtype=dt),
+        jnp.asarray(np.asarray(tables.lam_user[:M, :luse]), dtype=dt),
+        jnp.asarray(np.asarray(tables.parity[:M, :luse]), dtype=dt),
+    )
+    U = len(user_mu)
+    W = dtau.shape[-1]
+
+    def mode_body(acc, x):
+        m_idx, lam, lam_sun, lam_user, parity = x
         r_m = _mode_radiance(
-            jnp.asarray(m),
-            np.asarray(tables.lam_stream[m, :luse]),
-            np.asarray(tables.lam_sun[m, :luse]),
-            np.asarray(tables.lam_user[m, :luse]),
-            np.asarray(tables.parity[m, :luse]),
+            m_idx, lam, lam_sun, lam_user, parity,
             dtau, omega, beta, t_top, sbar, t_ground,
             albedo, mu, w, mu0, user_mu, user_up, include_ss, f0,
             thermal,
         )
-        az = jnp.cos(m * (jnp.pi - user_azimuth))[:, None]
-        rad = rad + az * r_m
+        az = jnp.cos(m_idx * (jnp.pi - user_azimuth))[:, None]
+        return acc + az * r_m, None
+
+    rad, _ = jax.lax.scan(
+        mode_body, jnp.zeros((U, W), dtype=dt), xs
+    )
     return rad

@@ -87,8 +87,24 @@ class SolarModel:
         elif source is not None:
             self._wl, self._irr = _load_solar_source(source)
         else:
-            self._wl = None
-            self._irr = None
+            # match the reference default (HSRS 2022 extended,
+            # src/sasktran2/solar/model.py:13) when the cached file is
+            # available; otherwise fall back to the documented blackbody
+            # approximation with an explicit warning — never silently
+            # substitute the blackbody under the HSRS name.
+            try:
+                self._wl, self._irr = _load_solar_source(HSRS_2022)
+            except FileNotFoundError:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "HSRS 2022 solar spectrum not present in the local "
+                    "database cache; falling back to the normalized "
+                    "5772 K blackbody approximation (~10-20%% accurate "
+                    "in the visible, worse in the UV)."
+                )
+                self._wl = None
+                self._irr = None
 
     def _point(self, wl_nm):
         if self._irr is not None:

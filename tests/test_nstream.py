@@ -72,8 +72,9 @@ def _compare(nstr, thermal=False, include_ss=True, chapman=False,
                                rtol=rtol, atol=1e-12)
 
 
-@pytest.mark.parametrize("nstr", [2, 4, 8, 16])
+@pytest.mark.parametrize("nstr", [2, 4, 6, 8, 10, 16])
 def test_nstream_matches_generic(nstr):
+    # odd nstr/2 (6, 10) exercises the odd-n Jacobi pad path
     _compare(nstr)
 
 
@@ -121,6 +122,55 @@ def test_nstream_gradients_match():
                                    rtol=1e-7, atol=1e-12)
 
 
+@pytest.mark.parametrize("nstr", [4, 16])
+def test_engine_nstream_fast_path_matches_generic(nstr):
+    """The engine's wavelength-minor N-stream fast path (DiscreteOrdinates
+    MS at nstr>2) reproduces the generic per-wavelength path, including
+    WFs (same structure as the two-stream engine parity test)."""
+    import sasktran2_tpu as sk
+    from sasktran2_tpu.climatology import add_us76_standard_atmosphere
+
+    config = sk.Config(
+        num_streams=nstr,
+        multiple_scatter_source=sk.MultipleScatterSource.DiscreteOrdinates,
+        single_scatter_source=sk.SingleScatterSource.DiscreteOrdinates,
+        num_singlescatter_moments=4,
+    )
+    geometry = sk.Geometry1D(
+        cos_sza=0.6, solar_azimuth=0.0, earth_radius_m=6372000.0,
+        altitude_grid_m=np.linspace(0, 60000, 11),
+        geometry_type=sk.GeometryType.PlaneParallel,
+    )
+    viewing = sk.ViewingGeometry()
+    viewing.add_ray(sk.GroundViewingSolar(0.6, 0.3, 0.8, 2e5))
+    viewing.add_ray(sk.GroundViewingSolar(0.6, 1.1, 0.5, 2e5))
+
+    def run(force_generic):
+        engine = sk.Engine(config, geometry, viewing)
+        if force_generic:
+            engine._twostream_fast_ok = lambda: False
+        else:
+            assert engine._twostream_fast_ok()
+        atmo = sk.Atmosphere(
+            geometry, config, wavelengths_nm=np.array([350.0, 550.0]),
+        )
+        add_us76_standard_atmosphere(atmo)
+        atmo["rayleigh"] = sk.constituent.Rayleigh()
+        atmo["surface"] = sk.constituent.LambertianSurface(0.3)
+        return engine.calculate_radiance(atmo)
+
+    out_fast = run(False)
+    out_gen = run(True)
+    for key in out_gen.keys():
+        a = out_fast[key].to_numpy()
+        b = out_gen[key].to_numpy()
+        # same formulation-difference bound rationale as the two-stream
+        # engine parity test (tests/test_twostream.py)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-6, atol=1e-4 * np.abs(b).max(), err_msg=key,
+        )
+
+
 # ---- lane primitives ----------------------------------------------------
 
 def test_lane_cholesky_and_solves():
@@ -156,9 +206,12 @@ def test_lane_gauss_solve():
     )
 
 
-def test_lane_jacobi_eigh():
+@pytest.mark.parametrize("N", [3, 5, 7, 8])
+def test_lane_jacobi_eigh(N):
+    # odd N exercises the isolated-pad path (advisor round-2 finding: the
+    # pad diagonal must never rotate into the live block)
     rng = np.random.default_rng(2)
-    B, N, W = 4, 8, 3
+    B, W = 4, 3
     a = rng.normal(size=(B, N, N, W))
     sym = 0.5 * (a + np.swapaxes(a, -3, -2))
     wv, v = lanes.lane_jacobi_eigh(jnp.asarray(sym))

@@ -33,7 +33,7 @@ def _setup(mode, wl_fine, out_grid):
     viewing.add_ray(sk.TangentAltitudeSolar(15000.0, 0.0, 200000.0, 0.6))
     engine = sk.Engine(config, geometry, viewing)
     kwargs = {}
-    if mode == sk.SpectralGridMode.AtmosphereIntegratedLineShape:
+    if mode != sk.SpectralGridMode.Monochromatic:
         kwargs["spectral_grid"] = out_grid
     atmo = sk.Atmosphere(geometry, config, wavelengths_nm=wl_fine.copy(),
                          calculate_derivatives=False, **kwargs)
@@ -73,6 +73,49 @@ def test_integrated_lineshape_od_reduction():
     # repeated calls reuse the pipeline (storage reallocation path)
     od_int2 = eng_i.calculate_radiance(atmo_i)["los_optical_depth"].to_numpy()
     np.testing.assert_allclose(od_int2, od_int, rtol=1e-12)
+
+
+def test_engine_integrated_lineshape_matches_output_reduction():
+    """EngineIntegratedLineShape: the engine runs on the fine grid and the
+    OUTPUT radiances/ODs are reduced with the mapping matrix — for a
+    quantity linear in the spectrum (OD) this is exactly M @ fine, and the
+    radiance must equal the reduced fine-grid radiances (reference third
+    SpectralGridMode, rust/rebasis/src/grid.rs:64)."""
+    wl_fine = np.linspace(499.0, 501.0, 161)
+    out_grid = Grid.from_triangles([499.5, 500.0, 500.5], 0.4)
+
+    eng_m, atmo_m = _setup(sk.SpectralGridMode.Monochromatic, wl_fine, None)
+    out_m = eng_m.calculate_radiance(atmo_m)
+    od_fine = out_m["los_optical_depth"].to_numpy()
+    rad_fine = out_m["radiance"].to_numpy()
+
+    eng_e, atmo_e = _setup(
+        sk.SpectralGridMode.EngineIntegratedLineShape, wl_fine, out_grid
+    )
+    out = eng_e.calculate_radiance(atmo_e)
+    od_eng = out["los_optical_depth"].to_numpy()
+    rad_eng = out["radiance"].to_numpy()
+
+    M = mapping_matrix(Grid.from_deltas(wl_fine), out_grid)
+    np.testing.assert_allclose(od_eng, M @ od_fine, rtol=1e-10)
+    np.testing.assert_allclose(
+        rad_eng, np.tensordot(M, rad_fine, axes=1), rtol=1e-10
+    )
+    assert od_eng.shape[0] == 3
+    np.testing.assert_allclose(
+        out.coords["wavelength"], [499.5, 500.0, 500.5]
+    )
+    # engine-integrated OD differs from atmosphere-integrated OD only
+    # through the nonlinearity of the transmission average (both tested
+    # reductions are exact for OD, which is linear) — but the RADIANCE
+    # (exp(-od)) differs: engine mode averages exp(-od_fine), atmosphere
+    # mode exponentiates the averaged od. Verify the physically expected
+    # ordering at the line center (Jensen: mean of exp >= exp of mean).
+    eng_i, atmo_i = _setup(
+        sk.SpectralGridMode.AtmosphereIntegratedLineShape, wl_fine, out_grid
+    )
+    rad_atm = eng_i.calculate_radiance(atmo_i)["radiance"].to_numpy()
+    assert rad_eng[1, 0, 0] >= rad_atm[1, 0, 0] - 1e-12
 
 
 def test_integrated_lineshape_wf_fd():
