@@ -1011,7 +1011,16 @@ class Engine:
         return jax.jit(with_precision)
 
     # ------------------------------------------------------------------
-    def calculate_radiance(self, atmosphere: Atmosphere) -> Dataset:
+    def calculate_radiance(
+        self, atmosphere: Atmosphere, mesh=None
+    ) -> Dataset:
+        """Run the forward model (+WFs). ``mesh``: an optional
+        ``jax.sharding.Mesh`` with a "wavelength" axis — the wavelength
+        batch is sharded across its devices (the TPU analog of the
+        reference's OpenMP/Rayon wavelength threading,
+        ``engine.cpp:560-572`` / ``bindings/engine.rs:164-266``); the
+        solve is embarrassingly parallel along wavelength so XLA inserts
+        no hot-path collectives."""
         core_np = atmosphere.internal_object()
         from .util.validation import validate_atmosphere_core
 
@@ -1047,7 +1056,16 @@ class Engine:
         core = {
             k: jnp.asarray(v, dtype=self._dtype) for k, v in core_np.items()
         }
+        W_in = next(iter(core.values())).shape[0]
+        if mesh is not None:
+            from .parallel import shard_core_wavelength
+
+            core, W_in = shard_core_wavelength(core, mesh)
         full, grads = self._compute_jit(core)
+        if mesh is not None:
+            # trim the shard padding on every wavelength-leading output
+            full = full[:W_in]
+            grads = {k: v[:W_in] for k, v in grads.items()}
         full = np.asarray(full)
         nlos = len(self._rays)
         nstokes = self._config.num_stokes

@@ -49,6 +49,30 @@ def shard_core(core: dict, mesh: Mesh):
     }
 
 
+def shard_core_wavelength(core: dict, mesh: Mesh):
+    """Shard EVERY core array along its leading (wavelength) axis on the
+    mesh's "wavelength" axis, zero-padding the batch up to a multiple of
+    the axis size. Returns (sharded_core, original_W).
+
+    This is the generic entry used by ``Engine.calculate_radiance(...,
+    mesh=)`` — every core-pytree leaf is wavelength-leading by
+    construction (the engine's batch convention), so the partition spec is
+    uniform."""
+    n_shard = mesh.shape["wavelength"]
+    W = next(iter(core.values())).shape[0]
+    pad = (-W) % n_shard
+    out = {}
+    for k, v in core.items():
+        if pad:
+            widths = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
+            import jax.numpy as jnp
+
+            v = jnp.pad(v, widths)
+        spec = P("wavelength", *([None] * (v.ndim - 1)))
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out, W
+
+
 def sharded_radiance_fn(fn, mesh: Mesh):
     """jit ``fn(core) -> (radiance, grads)`` with wavelength-sharded inputs
     and outputs. ``fn`` must be vmapped over the leading wavelength axis."""
