@@ -163,12 +163,6 @@ class Engine:
         if self._needs_so:
             from .rt import successive
 
-            if config.num_stokes == 3:
-                msg = (
-                    "num_stokes=3 successive orders is not implemented "
-                    "(use MultipleScatterSource.DiscreteOrdinates)"
-                )
-                raise NotImplementedError(msg)
             n_inc = max(4, int(round(config.num_successive_orders_incoming
                                      ** 0.5)))
             self._so_geom = successive.build_so_geometry(
@@ -181,8 +175,13 @@ class Engine:
             self._so_obs_tables = successive.observer_source_tables(
                 self._traced, self._so_geom
             )
+            if config.num_stokes == 3:
+                self._so_pol_tabs = successive.build_so_polarized_tables(
+                    self._so_geom, nleg
+                )
             self._so_do_init = (
                 config.init_successive_orders_with_discrete_ordinates
+                and config.num_stokes == 1  # DO-init is scalar-only
             )
             if self._so_do_init:
                 from .rt import do_source as do_source_mod
@@ -615,6 +614,39 @@ class Engine:
                 )[0]
             )
 
+        if self._needs_so:
+            from .rt import successive
+            from .rt.singlescatter import integrate_od_source
+
+            legs_so = (
+                core["leg_coeff"][None], core["leg_a2"][None],
+                core["leg_a3"][None], core["leg_b1"][None],
+            )
+            _, j_field, i_ground = (
+                successive.successive_orders_field_polarized(
+                    ext, ssa, legs_so, alb, self._so_geom,
+                    self._so_pol_tabs,
+                    cfg.num_successive_orders_iterations,
+                )
+            )
+            j_in, j_out = successive.so_source_along_rays_polarized(
+                j_field, self._traced, self._so_obs_tables
+            )
+            ms_rad = jax.vmap(
+                lambda ji, jo: integrate_od_source(
+                    ext, ji, jo, self._traced
+                ),
+                in_axes=-1, out_axes=-1,
+            )(j_in, j_out)[0]  # [nlos, 3]
+            rad = rad + f0 * ms_rad
+            ground_obs = jnp.asarray(
+                self._traced.ground_hit, dtype=ext.dtype
+            )
+            od_obs = singlescatter.optical_depth(ext, self._traced)[0]
+            rad = rad.at[:, 0].add(
+                f0 * ground_obs * i_ground[0] * jnp.exp(-od_obs)
+            )
+
         if self._needs_do:
             legs = (
                 core["leg_coeff"][None], core["leg_a2"][None],
@@ -893,7 +925,6 @@ class Engine:
             and self._needs_do
             and bool(self._do_groups)
             and not self._limb_groups
-            and not self._flux_groups
             and not self._needs_so
             and getattr(self, "_surface_brdf", None) is None
         )
@@ -948,10 +979,100 @@ class Engine:
             rad = rad.at[:, jnp.asarray(idx)].add(jnp.moveaxis(r, 0, -1))
         return rad
 
+    def _flux_groups_batched(self, core):
+        """Fluxes for the whole wavelength batch via the wavelength-minor
+        m=0 N-stream level solve (``solve_nstream_m0_levels``). Mirrors
+        ``_flux_single_wavelength``; returns [W, ntypes, nobs]."""
+        from .config import EmissionSource, FluxType
+        from .rt.disco_nstream import solve_nstream_m0_levels
+
+        cfg = self._config
+        ext = core["extinction"]  # [W, A]
+        ssa = core["ssa"]
+        leg = core["leg_coeff"]
+        alb = core["albedo"]
+        emis = core["emission"]
+        f0 = core["solar_irradiance"]
+        surf_em = core.get("surface_emission", jnp.zeros_like(alb))
+
+        emission_do = cfg.emission_source in (
+            EmissionSource.DiscreteOrdinates, EmissionSource.TwoStream,
+        )
+        dtau, omega, beta = self._layer_optical(ext, ssa, leg)
+        dtau_t = jnp.moveaxis(dtau, 0, -1)
+        omega_t = jnp.moveaxis(omega, 0, -1)
+        beta_t = jnp.transpose(beta, (2, 1, 0))
+        thermal_kw = {}
+        if emission_do:
+            b_top = emis[..., 1:][..., ::-1]
+            b_bot = emis[..., :-1][..., ::-1]
+            thermal_kw = {
+                "thermal_b0": jnp.moveaxis(b_top, 0, -1),
+                "thermal_b1_bottom": jnp.moveaxis(b_bot, 0, -1),
+                "surface_emission": surf_em,
+            }
+        chapman = self._chapman_factors(ext.dtype)
+
+        W = ext.shape[0]
+        nobs = len(self._flux_observers)
+        ntypes = len(cfg.flux_types)
+        flux = jnp.zeros((W, ntypes, nobs), dtype=ext.dtype)
+        two_pi = 2.0 * jnp.pi
+        for idx, tables, interp in self._flux_groups:
+            lv, t_top, t_ground = solve_nstream_m0_levels(
+                dtau_t, omega_t, beta_t, alb, tables,
+                include_ss=self._do_include_ss,
+                chapman=chapman.get(tables.mu0),
+                f0=f0,
+                **thermal_kw,
+            )
+            wq = jnp.asarray(tables.w, dtype=ext.dtype)
+            muq = jnp.asarray(tables.mu, dtype=ext.dtype)
+            ip = jnp.concatenate(
+                [lv["i_plus_top"], lv["i_plus_bot"][-1:]], axis=0
+            )  # [P+1, N, W]
+            im = jnp.concatenate(
+                [lv["i_minus_top"], lv["i_minus_bot"][-1:]], axis=0
+            )
+            t_b = jnp.concatenate([t_top, t_ground[None]], axis=0)
+            wmu = wq * muq
+            f_up = two_pi * jnp.einsum("bnw,n->bw", ip, wmu)
+            f_dn_diff = two_pi * jnp.einsum("bnw,n->bw", im, wmu)
+            direct = (
+                tables.mu0 * f0[None] * t_b
+                if self._do_include_ss else 0.0 * t_b
+            )
+            f_dn = f_dn_diff + direct
+            f_act = two_pi * jnp.einsum("bnw,n->bw", ip + im, wq) + (
+                f0[None] * t_b if self._do_include_ss else 0.0 * t_b
+            )
+            kabs_b = jnp.moveaxis(
+                (ext * (1.0 - ssa))[..., ::-1], 0, -1
+            )  # [A(TOA-first), W]
+            f_div = kabs_b * f_act
+            if emission_do:
+                f_div = f_div - 4.0 * jnp.pi * kabs_b * jnp.moveaxis(
+                    emis[..., ::-1], 0, -1
+                )
+            interp_j = jnp.asarray(interp, dtype=ext.dtype)
+            per_type = {
+                FluxType.Upwelling: f_up,
+                FluxType.Downwelling: f_dn,
+                FluxType.Actinic: f_act,
+                FluxType.Divergence: f_div,
+            }
+            for ti, ftype in enumerate(cfg.flux_types):
+                if ftype not in per_type:
+                    msg = f"Flux type {ftype} not implemented"
+                    raise NotImplementedError(msg)
+                vals = jnp.einsum("ob,bw->wo", interp_j, per_type[ftype])
+                flux = flux.at[:, ti, jnp.asarray(idx)].set(vals)
+        return flux
+
     def _build_jit(self, needs_leg_jac, needs_jac, with_flux):
         # TPU matmuls default to bf16 for f32 inputs; radiative transfer
         # needs full f32 accumulation throughout the solver.
-        fast_ts = not with_flux and self._twostream_fast_ok()
+        fast_ts = self._twostream_fast_ok()
 
         def outputs(core):
             rad = self._radiance_single_wavelength(core)
@@ -984,7 +1105,13 @@ class Engine:
                         c, skip_do_groups=True
                     )
                 )(core)
-                return rest + self._twostream_do_groups_batched(core)
+                rad = rest + self._twostream_do_groups_batched(core)
+                if with_flux:
+                    flux = self._flux_groups_batched(core)
+                    return jnp.concatenate(
+                        [rad, flux.reshape(rad.shape[0], -1)], axis=1
+                    )
+                return rad
 
             def batched(core):
                 if not needs_jac:

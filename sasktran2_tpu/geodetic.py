@@ -147,6 +147,38 @@ class Geodetic:
         self.from_tangent_point(observer, look)
         return look
 
+    def osculating_spheroid(self):
+        """Best-fit sphere to the geoid at the current location (reference
+        ``Geodetic.osculating_spheroid``, ``src/sasktran2/geodetic.py:259``
+        and ``cpp/lib/geometry/geodetic.cpp:283``): the meridian-plane
+        radius of curvature at the sub-point on the surface, and the offset
+        of the sphere's center from the geocenter.
+
+        Returns (radius_m, offset_xyz). This is the machinery behind
+        ``GeometryType.Ellipsoidal``: build the 1D model with
+        ``earth_radius_m = radius`` and altitudes referenced to the
+        osculating sphere so limb rays bend around the locally-correct
+        curvature instead of the mean sphere.
+        """
+        lat = np.deg2rad(self._lat)
+        lon = np.deg2rad(self._lon)
+        a, b = self.a, self.b
+        # surface sub-point in the meridian plane (x horizontal, y = z axis)
+        # geodetic-to-geocentric at altitude 0:
+        n = a / np.sqrt(1.0 - self.e2 * np.sin(lat) ** 2)
+        x0 = n * np.cos(lat)
+        y0 = n * (1.0 - self.e2) * np.sin(lat)
+        a2y0 = a * a * y0
+        b2x0 = b * b * x0
+        r = (a2y0 * y0 / (b * b) + b2x0 * x0 / (a * a)) ** 1.5 / (a * b)
+        theta = np.arctan2(a2y0, b2x0)
+        dx = r * np.cos(theta)
+        dy = r * np.sin(theta)
+        xunit = np.array([np.cos(lon), np.sin(lon), 0.0])
+        yunit = np.array([0.0, 0.0, 1.0])
+        offset = (x0 - dx) * xunit + (y0 - dy) * yunit
+        return float(r), offset
+
     def altitude_intercepts(self, altitude, observer, look_vector):
         """(entrance, exit) ECEF intersections of the ray with the given
         altitude shell, or (None, None) if it misses."""

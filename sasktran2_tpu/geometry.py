@@ -25,7 +25,15 @@ class Geometry1D:
         altitude_grid_m: np.ndarray,
         interpolation_method: InterpolationMethod = InterpolationMethod.LinearInterpolation,
         geometry_type: GeometryType = GeometryType.Spherical,
+        reference_latitude_deg: float | None = None,
+        reference_longitude_deg: float = 0.0,
     ):
+        """``GeometryType.Ellipsoidal`` traces on the osculating sphere at
+        the reference point: when ``reference_latitude_deg`` is given, the
+        supplied ``earth_radius_m`` is replaced by the WGS84 osculating-
+        spheroid radius there (reference ``geodetic.cpp:283`` —
+        the reference core otherwise treats the ellipsoidal enum
+        identically to spherical in its ray tracers)."""
         altitude_grid_m = np.ascontiguousarray(altitude_grid_m, dtype=np.float64)
         if altitude_grid_m.ndim != 1 or len(altitude_grid_m) < 2:
             msg = "altitude_grid_m must be a 1D array with at least 2 entries"
@@ -36,6 +44,17 @@ class Geometry1D:
         if not -1.0 <= cos_sza <= 1.0:
             msg = f"cos_sza must be in [-1, 1], got {cos_sza}"
             raise ValueError(msg)
+
+        if (
+            geometry_type == GeometryType.Ellipsoidal
+            and reference_latitude_deg is not None
+        ):
+            from .geodetic import Geodetic
+
+            g = Geodetic().from_lat_lon_alt(
+                reference_latitude_deg, reference_longitude_deg, 0.0
+            )
+            earth_radius_m, _ = g.osculating_spheroid()
 
         self.cos_sza = float(cos_sza)
         self.solar_azimuth = float(solar_azimuth)

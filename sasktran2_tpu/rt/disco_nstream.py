@@ -60,6 +60,7 @@ def _mode_radiance(
     m_idx, lam, lam_sun, lam_user, parity,
     dtau, omega, beta, t_top, sbar, t_ground,
     albedo, mu, w, mu0, user_mu, user_up, include_ss, f0, thermal,
+    with_levels=False,
 ):
     """One azimuth mode, wavelength-minor. lam [L, N] / lam_sun [L] /
     lam_user [L, U] / parity [L] may be traced (lax.scan over modes) or
@@ -221,6 +222,24 @@ def _mode_radiance(
     coeff_l = sol[..., :N, :]                           # [P, N(A), W]
     coeff_m = sol[..., N:, :]
 
+    if with_levels:
+        # level stream fields at layer tops/bottoms (disco._solve_one_mode
+        # levels block, lane-minor): project over the eigenmode axis
+        def project_lv(mat, vec):
+            return jnp.sum(mat * vec[..., None, :, :], axis=-2)
+
+        ea = e[:, None, :, :]
+        levels = {
+            "i_plus_top": project_lv(x, coeff_l)
+            + project_lv(y * ea, coeff_m) + project_lv(y, phi_pt),
+            "i_minus_top": project_lv(y, coeff_l)
+            + project_lv(x * ea, coeff_m) + project_lv(x, phi_pt),
+            "i_plus_bot": project_lv(x * ea, coeff_l)
+            + project_lv(y, coeff_m) + project_lv(x, phi_mb),
+            "i_minus_bot": project_lv(y * ea, coeff_l)
+            + project_lv(x, coeff_m) + project_lv(y, phi_mb),
+        }
+
     # --- post-processing (disco._postprocess_mode, lane-minor) ----------
     # t1[p, l, a, w] = sum_j w_j lam_lj X_jaw ; t2 with Y
     lamw = lam * jnp.asarray(w, dtype=dt)[None, :]      # [L, N]
@@ -325,7 +344,10 @@ def _mode_radiance(
     total_od_user = jnp.sum(od_user, axis=0)
     rad_up = rad_up + jnp.exp(-total_od_user) * ground_up
 
-    return jnp.where(jnp.asarray(user_up)[:, None], rad_up, rad_dn)
+    rad = jnp.where(jnp.asarray(user_up)[:, None], rad_up, rad_dn)
+    if with_levels:
+        return rad, levels
+    return rad
 
 
 def solve_nstream(
@@ -437,3 +459,90 @@ def solve_nstream(
         mode_body, jnp.zeros((U, W), dtype=dt), xs
     )
     return rad
+
+
+def solve_nstream_m0_levels(
+    dtau,
+    omega,
+    beta,
+    albedo,
+    tables: ModeTables,
+    include_ss: bool = True,
+    chapman=None,
+    f0=None,
+    thermal_b0=None,
+    thermal_b1_bottom=None,
+    surface_emission=None,
+):
+    """m=0 solve returning the level stream fields, wavelength-minor.
+
+    Same inputs as ``solve_nstream``. Returns (levels, t_top, t_ground)
+    with levels entries [P, N, W] (layer tops/bottoms stream fields) and
+    t_top [P, W] / t_ground [W] the beam transmittances — everything the
+    flux assembly needs (reference flux loop,
+    ``do_source_planeparallel.cpp:536-560``).
+    """
+    mu0 = tables.mu0
+    mu = np.asarray(tables.mu)
+    w = np.asarray(tables.w)
+    P = dtau.shape[0]
+    dt = dtau.dtype
+
+    if chapman is None:
+        chapman_m = jnp.tril(jnp.ones((P, P), dtype=dt)) / mu0
+    else:
+        chapman_m = jnp.asarray(chapman, dtype=dt)
+    slant_bottom = jnp.einsum("pq,qw->pw", chapman_m, dtau)
+    slant_top = jnp.concatenate(
+        [jnp.zeros_like(slant_bottom[:1]), slant_bottom[:-1]], axis=0
+    )
+    t_top = jnp.exp(-slant_top)
+    t_ground = jnp.exp(-slant_bottom[-1])
+    sbar = (slant_bottom - slant_top) / jnp.maximum(dtau, 1e-30)
+
+    nstr = 2 * len(mu)
+    luse = min(beta.shape[0], max(nstr, 1))
+    beta = beta[:luse]
+
+    if f0 is None:
+        f0 = jnp.ones(albedo.shape, dtype=dt)
+    else:
+        f0 = jnp.broadcast_to(jnp.asarray(f0, dtype=dt), albedo.shape)
+
+    if thermal_b0 is not None:
+        both_pos = (thermal_b0 > 0.0) & (thermal_b1_bottom > 0.0)
+        b1 = jnp.where(
+            both_pos,
+            jnp.log(
+                jnp.maximum(thermal_b0, 1e-300)
+                / jnp.maximum(thermal_b1_bottom, 1e-300)
+            )
+            / jnp.maximum(dtau, 1e-30),
+            jnp.zeros_like(dtau),
+        )
+        b0 = jnp.where(
+            both_pos, thermal_b0, 0.5 * (thermal_b0 + thermal_b1_bottom)
+        )
+        thermal = (
+            b0, b1,
+            surface_emission
+            if surface_emission is not None
+            else jnp.zeros_like(albedo),
+        )
+    else:
+        thermal = None
+
+    user_mu = np.asarray(tables.user_mu)
+    user_up = np.ones(len(user_mu), dtype=bool)
+    _, levels = _mode_radiance(
+        jnp.asarray(0),
+        jnp.asarray(np.asarray(tables.lam_stream[0, :luse]), dtype=dt),
+        jnp.asarray(np.asarray(tables.lam_sun[0, :luse]), dtype=dt),
+        jnp.asarray(np.asarray(tables.lam_user[0, :luse]), dtype=dt),
+        jnp.asarray(np.asarray(tables.parity[0, :luse]), dtype=dt),
+        dtau, omega, beta, t_top, sbar, t_ground,
+        albedo, mu, w, mu0, user_mu, user_up, include_ss, f0,
+        thermal,
+        with_levels=True,
+    )
+    return levels, t_top, t_ground

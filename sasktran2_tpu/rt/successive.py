@@ -63,6 +63,11 @@ class SOGeometry:
     ground_cos_sza: np.ndarray  # [R]
     nlev: int
     ndir: int
+    # Stokes rotation (scattering plane -> local meridian plane) of the
+    # first-order beam source at each internal-ray boundary; identity for
+    # scalar runs (used only by the polarized field iteration)
+    sun_c2: np.ndarray | None = None   # [R, S+1]
+    sun_s2: np.ndarray | None = None
 
 
 def _direction_grid(n_mu: int, n_phi: int):
@@ -120,6 +125,19 @@ def build_so_geometry(
     interp_w = np.zeros((R, S + 1, A))
     ground_hit = np.zeros(R, dtype=bool)
     g_cs = np.zeros(R)
+    sun_c2 = np.ones((R, S + 1))
+    sun_s2 = np.zeros((R, S + 1))
+
+    from .raytrace import _stokes_rotation
+
+    def _sun_rot(cz, cs, relazi):
+        szn = np.sqrt(max(1.0 - cz * cz, 0.0))
+        sss = np.sqrt(max(1.0 - cs * cs, 0.0))
+        d_hat = np.array([szn, 0.0, cz])
+        sun_hat = np.array(
+            [sss * np.cos(relazi), sss * np.sin(relazi), cs]
+        )
+        return _stokes_rotation(d_hat, sun_hat)
 
     sun_s = np.sqrt(max(1.0 - cos_sza**2, 0.0))
     sun_vec = np.array([sun_s, 0.0, cos_sza])
@@ -189,6 +207,7 @@ def build_so_geometry(
                     szn = np.sqrt(max(1.0 - cz * cz, 0.0))
                     sss = np.sqrt(max(1.0 - cs * cs, 0.0))
                     cos_scat[ri, b] = -cz * cs - szn * sss * np.cos(relazi)
+                    sun_c2[ri, b], sun_s2[ri, b] = _sun_rot(cz, cs, relazi)
                     jl = int(np.clip(
                         np.searchsorted(radii, rr) - 1, 0, A - 2
                     ))
@@ -250,6 +269,7 @@ def build_so_geometry(
                 szn = np.sqrt(max(1.0 - cz * cz, 0.0))
                 sss = np.sqrt(max(1.0 - cs * cs, 0.0))
                 cos_scat[ri, b] = -cz * cs - szn * sss * np.cos(relazi)
+                sun_c2[ri, b], sun_s2[ri, b] = _sun_rot(cz, cs, relazi)
                 jl = int(np.clip(np.searchsorted(radii, rr) - 1, 0, A - 2))
                 fl = np.clip((rr - radii[jl]) / (radii[jl + 1] - radii[jl]),
                              0.0, 1.0)
@@ -265,6 +285,7 @@ def build_so_geometry(
         sun_weights=sun_w, cos_scatter=cos_scat, interp_weights=interp_w,
         ground_hit=ground_hit, ground_cos_sza=g_cs,
         nlev=A, ndir=D,
+        sun_c2=sun_c2, sun_s2=sun_s2,
     )
 
 
@@ -545,6 +566,269 @@ def successive_orders_field(
         "d,wd->w", f_dn_w, i_final[:, 0, :]
     ) / jnp.pi
     return i_final, j_final, i_ground_diffuse
+
+
+# ---------------------------------------------------------------------------
+# Polarized (NSTOKES=3) successive orders
+#
+# The reference templates DiffuseTable on NSTOKES
+# (``cpp/include/sasktran2/hr/diffuse_source.h:45``) with full Stokes
+# rotations between meridian and scattering planes at every scatter. Here
+# the pairwise direction-grid rotations and generalized-spherical basis
+# functions are STATIC host tables; the per-iteration scattering becomes a
+# set of (W, V)-batched [D, D] contractions — one per phase-matrix
+# component — exactly like the scalar G_l kernels.
+#
+# Approximation (documented): Stokes bases are interpolated componentwise
+# on the direction grid during transport (O(dphi) basis mismatch between
+# neighbouring azimuth nodes); exact along each straight internal ray,
+# whose meridian plane is constant. Validated against the polarized DO
+# solver at the percent level (tests/test_polarized_so.py).
+# ---------------------------------------------------------------------------
+
+
+def build_so_polarized_tables(geom: SOGeometry, nleg: int) -> dict:
+    """Static pairwise tables for the polarized scattering kernel.
+
+    Z(d <- d') = R_out(d', d) F(Theta) R_in(d', d)^T with
+    F11 = sum a1 d^l_00, F12 = F21 = -sum b1 d^l_02,
+    F22/F33 = 1/2 sum (a2+a3) d^l_22 +- (a2-a3) d^l_2-2  (I, Q, U block;
+    reference polarization types, ``sktran_do_polarization_types.h``).
+    """
+    from ..ops.wigner import wigner_d
+    from .raytrace import _stokes_rotation
+
+    mu_d, phi_d = geom.mu_d, geom.phi_d
+    D = len(mu_d)
+    s_d = np.sqrt(np.maximum(1.0 - mu_d**2, 0.0))
+    dvec = np.stack(
+        [s_d * np.cos(phi_d), s_d * np.sin(phi_d), mu_d], axis=-1
+    )  # [D, 3]
+
+    cos_t = np.clip(dvec @ dvec.T, -1.0, 1.0)  # [D_out, D_in]... (in, out)?
+    # dvec[i] . dvec[j]: symmetric, orientation irrelevant for Theta
+    theta = np.arccos(cos_t)
+    t00 = wigner_d(theta, 0, 0, nleg)    # [L, D, D]
+    t02 = wigner_d(theta, 0, 2, nleg)
+    t22 = wigner_d(theta, 2, 2, nleg)
+    t2m2 = wigner_d(theta, 2, -2, nleg)
+
+    c2o = np.ones((D, D))
+    s2o = np.zeros((D, D))
+    c2i = np.ones((D, D))
+    s2i = np.zeros((D, D))
+    z = np.array([0.0, 0.0, 1.0])
+    for di in range(D):        # incoming direction (propagation)
+        for do in range(D):    # outgoing direction
+            u_in = dvec[di]
+            d_out = dvec[do]
+            # outgoing: scattering plane -> meridian(d_out), about d_out
+            c2o[do, di], s2o[do, di] = _stokes_rotation(d_out, -u_in)
+            # incoming: scattering plane -> meridian(d_in), about d_in;
+            # the transpose (applied in the kernel) takes meridian ->
+            # scattering. Scattering-plane normal is the same plane:
+            n1 = np.cross(u_in, d_out)
+            n2 = np.cross(z, u_in)
+            s1n = np.linalg.norm(n1)
+            s2n = np.linalg.norm(n2)
+            if s1n < 1e-10 or s2n < 1e-10:
+                continue
+            n1 = n1 / s1n
+            n2 = n2 / s2n
+            c = float(np.dot(n1, n2))
+            s = float(np.dot(np.cross(n1, n2), u_in))
+            c2i[do, di] = c * c - s * s
+            s2i[do, di] = -2.0 * s * c
+
+    # first-order beam basis functions at the internal-ray boundaries
+    theta_b = np.arccos(np.clip(geom.cos_scatter, -1.0, 1.0))
+    b00 = wigner_d(theta_b, 0, 0, nleg)   # [L, R, S+1]
+    b02 = wigner_d(theta_b, 0, 2, nleg)
+
+    return {
+        "t00": t00, "t02": t02, "t22": t22, "t2m2": t2m2,
+        "c2o": c2o, "s2o": s2o, "c2i": c2i, "s2i": s2i,
+        "b00": np.moveaxis(b00, 0, -1),   # [R, S+1, L]
+        "b02": np.moveaxis(b02, 0, -1),
+    }
+
+
+def successive_orders_field_polarized(
+    extinction, ssa, legs, albedo, geom: SOGeometry, pol_tabs: dict,
+    iterations: int,
+):
+    """Polarized fixed-point iteration. ``legs`` = (a1, a2, a3, b1) each
+    [W, A, L]. Returns (I [W, V, D, 3], J [W, V, D, 3], i_ground [W]).
+
+    Same transport scaffolding as the scalar ``successive_orders_field``;
+    the scattering step applies the rotated phase MATRIX and the
+    first-order beam source carries its (Q, U) via the per-boundary
+    scattering-plane rotations.
+    """
+    a1, a2, a3, b1 = legs
+    dt = extinction.dtype
+    seg_idx = jnp.asarray(geom.seg_idx)
+    seg_w = jnp.asarray(geom.seg_w, dtype=dt)
+    mask = jnp.asarray(geom.seg_mask, dtype=dt)
+    sun_w = jnp.asarray(geom.sun_weights, dtype=dt)
+    int_w = jnp.asarray(geom.interp_weights, dtype=dt)
+    V, D = geom.nlev, geom.ndir
+
+    k_lev = extinction
+    seg_od = jnp.einsum("wrsk,rsk->wrs", k_lev[:, seg_idx], seg_w)
+    od_m = seg_od * mask
+    closer = jnp.flip(
+        jnp.cumsum(jnp.flip(od_m, axis=-1), axis=-1), axis=-1
+    ) - od_m
+    trans = jnp.exp(-closer)
+    factor = -jnp.expm1(-od_m)
+
+    # ---- first order: polarized beam scatter at boundaries -------------
+    nleg = a1.shape[-1]
+    sun_od = jnp.einsum("rba,wa->wrb", sun_w, k_lev)
+    t_sun = jnp.exp(-jnp.minimum(sun_od, 300.0))
+    kscat = k_lev * ssa
+    kscat_b = jnp.einsum("rba,wa->wrb", int_w, kscat)
+
+    def interp_beta(lc):
+        num = jnp.einsum("rba,wal->wrbl", int_w, lc * kscat[..., None])
+        return safe_div(num, kscat_b[..., None])
+
+    a1_b = interp_beta(a1)
+    b1_b = interp_beta(b1)
+    b00 = jnp.asarray(pol_tabs["b00"][..., :nleg], dtype=dt)
+    b02 = jnp.asarray(pol_tabs["b02"][..., :nleg], dtype=dt)
+    f11_b = jnp.einsum("wrbl,rbl->wrb", a1_b, b00)
+    f21_b = -jnp.einsum("wrbl,rbl->wrb", b1_b, b02)
+    c2b = jnp.asarray(geom.sun_c2, dtype=dt)
+    s2b = jnp.asarray(geom.sun_s2, dtype=dt)
+    k_b = jnp.einsum("rba,wa->wrb", int_w, k_lev)
+    pref = safe_div(kscat_b / (4.0 * jnp.pi) * t_sun, k_b)
+    j_b = jnp.stack(
+        [pref * f11_b, pref * c2b * f21_b, pref * s2b * f21_b], axis=-1
+    )  # [W, R, S+1, 3]
+    seg_src = (
+        factor[..., None] * 0.5 * (j_b[..., :-1, :] + j_b[..., 1:, :])
+        * mask[..., None]
+    )
+    i_first = jnp.sum(seg_src * trans[..., None], axis=-2)  # [W, R, 3]
+    # unpolarized Lambertian ground reflection of the direct beam
+    ground = jnp.asarray(geom.ground_hit, dtype=dt)
+    total_od = jnp.sum(od_m, axis=-1)
+    mu0 = jnp.asarray(geom.ground_cos_sza, dtype=dt)
+    gterm = (
+        ground * albedo[:, None] * jnp.maximum(mu0, 0.0)
+        * t_sun[..., 0] / jnp.pi
+    ) * jnp.exp(-total_od)
+    i_first = i_first.at[..., 0].add(gterm)
+    i_first = i_first.reshape(-1, V, D, 3)
+
+    # ---- scattering kernel ---------------------------------------------
+    t00 = jnp.asarray(pol_tabs["t00"][:nleg], dtype=dt)  # [L, Do, Di]
+    t02 = jnp.asarray(pol_tabs["t02"][:nleg], dtype=dt)
+    t22 = jnp.asarray(pol_tabs["t22"][:nleg], dtype=dt)
+    t2m2 = jnp.asarray(pol_tabs["t2m2"][:nleg], dtype=dt)
+    c2i = jnp.asarray(pol_tabs["c2i"], dtype=dt)         # [Do, Di]
+    s2i = jnp.asarray(pol_tabs["s2i"], dtype=dt)
+    c2o = jnp.asarray(pol_tabs["c2o"], dtype=dt)
+    s2o = jnp.asarray(pol_tabs["s2o"], dtype=dt)
+    w_d = jnp.asarray(geom.w_d, dtype=dt)
+    mu_d = jnp.asarray(geom.mu_d, dtype=dt)
+
+    ap = 0.5 * (a2 + a3)
+    am = 0.5 * (a2 - a3)
+
+    def scattering_source(i_field):
+        # component tensors [W, V, Do, Di]
+        fa = jnp.einsum("wvl,lde->wvde", a1, t00)
+        fb = -jnp.einsum("wvl,lde->wvde", b1, t02)
+        f22 = jnp.einsum("wvl,lde->wvde", ap, t22) + jnp.einsum(
+            "wvl,lde->wvde", am, t2m2
+        )
+        f33 = jnp.einsum("wvl,lde->wvde", ap, t22) - jnp.einsum(
+            "wvl,lde->wvde", am, t2m2
+        )
+        ii = i_field[..., 0]   # [W, V, Di]
+        qq = i_field[..., 1]
+        uu = i_field[..., 2]
+        # rotate incoming meridian -> scattering plane (transpose of the
+        # scattering->meridian rotation): Q_s = c2i Q + s2i U
+        qs = c2i[None, None] * qq[:, :, None, :] + s2i[None, None] * uu[
+            :, :, None, :
+        ]
+        us = -s2i[None, None] * qq[:, :, None, :] + c2i[None, None] * uu[
+            :, :, None, :
+        ]
+        ip = fa * ii[:, :, None, :] + fb * qs
+        qp = fb * ii[:, :, None, :] + f22 * qs
+        up = f33 * us
+        # rotate scattering plane -> outgoing meridian
+        qo = c2o[None, None] * qp - s2o[None, None] * up
+        uo = s2o[None, None] * qp + c2o[None, None] * up
+        pref2 = ssa[..., None] / (4.0 * jnp.pi)
+        j_i = pref2 * jnp.einsum("wvde,e->wvd", ip, w_d)
+        j_q = pref2 * jnp.einsum("wvde,e->wvd", qo, w_d)
+        j_u = pref2 * jnp.einsum("wvde,e->wvd", uo, w_d)
+        return jnp.stack([j_i, j_q, j_u], axis=-1)
+
+    sli = jnp.asarray(geom.src_level_idx)
+    slw = jnp.asarray(geom.src_level_w, dtype=dt)
+    sdi = jnp.asarray(geom.src_dir_idx)
+    sdw = jnp.asarray(geom.src_dir_w, dtype=dt)
+
+    def transport(j_field):
+        # componentwise (see module note on the interp-basis approximation)
+        def one(jc):
+            jl = jnp.einsum("wrsekd,rsek->wrsed", jc[:, sli, :], slw)
+            je = jnp.take_along_axis(jl, sdi[None], axis=-1)
+            je = jnp.einsum("wrsek,rsek->wrse", je, sdw)
+            ss_ = factor * 0.5 * (je[..., 0] + je[..., 1]) * mask
+            return jnp.sum(ss_ * trans, axis=-1).reshape(-1, V, D)
+
+        return jnp.stack(
+            [one(j_field[..., c]) for c in range(3)], axis=-1
+        )
+
+    f_dn_w = w_d * jnp.abs(mu_d) * (mu_d < 0.0)
+    ground_t = (ground * jnp.exp(-total_od)).reshape(-1, V, D)
+
+    def ground_diffuse(i_field):
+        # Lambertian: depolarizing, reflects the I flux only
+        f_dn = jnp.einsum("d,wd->w", f_dn_w, i_field[:, 0, :, 0])
+        out = jnp.zeros_like(i_field)
+        return out.at[..., 0].add(
+            (albedo * f_dn / jnp.pi)[:, None, None] * ground_t
+        )
+
+    def step(i_field, _):
+        j = scattering_source(i_field)
+        i_new = i_first + transport(j) + ground_diffuse(i_field)
+        return i_new, None
+
+    i_final, _ = jax.lax.scan(step, i_first, None, length=iterations)
+    j_final = scattering_source(i_final)
+    i_ground_diffuse = albedo * jnp.einsum(
+        "d,wd->w", f_dn_w, i_final[:, 0, :, 0]
+    ) / jnp.pi
+    return i_final, j_final, i_ground_diffuse
+
+
+def so_source_along_rays_polarized(j_field, traced: TracedRays, tables):
+    """Polarized SO source at observer-ray segment endpoints.
+
+    j_field [W, V, D, 3] (meridian-frame Stokes); for straight observer
+    rays the local meridian plane equals the ray plane everywhere, so the
+    interpolated Stokes vector is already in the LOS output frame (same
+    argument as ``do_source.ms_source_along_rays_vec``).
+    Returns (j_in, j_out) each [W, R, S, 3].
+    """
+    outs = [
+        so_source_along_rays(j_field[..., c], traced, tables)
+        for c in range(3)
+    ]
+    j_in = jnp.stack([o[0] for o in outs], axis=-1)
+    j_out = jnp.stack([o[1] for o in outs], axis=-1)
+    return j_in, j_out
 
 
 def observer_source_tables(traced: TracedRays, geom: SOGeometry):

@@ -111,3 +111,22 @@ def test_flux_divergence_energy_conservation():
     dnet_dz = (net[2] - net[0]) / (2 * dz)
     assert f_div[1] > 0
     np.testing.assert_allclose(f_div[1], dnet_dz, rtol=2e-2)
+
+
+def test_flux_fast_path_matches_generic():
+    """The wavelength-minor flux path (solve_nstream_m0_levels) reproduces
+    the generic per-wavelength flux assembly, including flux WFs."""
+    engine, atmo = _setup(albedo=0.3, ssa=0.9)
+    assert engine._twostream_fast_ok()
+    out_fast = engine.calculate_radiance(atmo)
+
+    engine._twostream_fast_ok = lambda: False
+    engine._compute_jit = None
+    out_gen = engine.calculate_radiance(atmo)
+    for key in out_gen.keys():
+        a = out_fast[key].to_numpy()
+        b = out_gen[key].to_numpy()
+        # formulation-difference bound (see tests/test_twostream.py)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-6, atol=1e-4 * np.abs(b).max(), err_msg=key,
+        )

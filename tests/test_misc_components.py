@@ -139,3 +139,80 @@ def test_solar_model_modes_and_source(tmp_path, monkeypatch):
 
     with _pytest.raises(FileNotFoundError, match="missing_source"):
         SolarModel(source="missing_source")
+
+
+def test_osculating_spheroid():
+    """WGS84 osculating-spheroid radius (reference geodetic.cpp:283):
+    meridian radius of curvature is b^2/a at the equator and a^2/b at the
+    poles; the center offset vanishes at both (symmetry points)."""
+    from sasktran2_tpu.geodetic import WGS84_A, WGS84_F, Geodetic
+
+    a = WGS84_A
+    b = WGS84_A * (1.0 - WGS84_F)
+
+    g = Geodetic().from_lat_lon_alt(0.0, 0.0, 0.0)
+    r_eq, off_eq = g.osculating_spheroid()
+    np.testing.assert_allclose(r_eq, b * b / a, rtol=1e-9)
+    # center offset lies along the surface normal; at the equator it is
+    # radial with magnitude a - b^2/a
+    np.testing.assert_allclose(
+        np.linalg.norm(off_eq), a - b * b / a, rtol=1e-9
+    )
+
+    g = Geodetic().from_lat_lon_alt(90.0, 0.0, 0.0)
+    r_po, off_po = g.osculating_spheroid()
+    np.testing.assert_allclose(r_po, a * a / b, rtol=1e-9)
+    np.testing.assert_allclose(
+        np.linalg.norm(off_po), a * a / b - b, rtol=1e-8
+    )
+    # monotonic in latitude between the endpoints
+    r_45, _ = Geodetic().from_lat_lon_alt(
+        45.0, 0.0, 0.0
+    ).osculating_spheroid()
+    assert r_eq < r_45 < r_po
+
+
+def test_ellipsoidal_geometry_limb():
+    """GeometryType.Ellipsoidal traces on the osculating sphere: identical
+    to a Spherical geometry constructed with the osculating radius, and
+    within the expected small deviation of the nominal-sphere result."""
+    import sasktran2_tpu as sk
+    from sasktran2_tpu.geodetic import Geodetic
+
+    alts = np.linspace(0, 65000, 14)
+    config = sk.Config(
+        num_streams=2,
+        single_scatter_source=sk.SingleScatterSource.Exact,
+        multiple_scatter_source=sk.MultipleScatterSource.NoSource,
+    )
+    viewing = sk.ViewingGeometry()
+    viewing.add_ray(sk.TangentAltitudeSolar(20000.0, 0.3, 200000.0, 0.6))
+
+    def run(geometry):
+        engine = sk.Engine(config, geometry, viewing)
+        atmo = sk.Atmosphere(geometry, config,
+                             wavelengths_nm=np.array([450.0]))
+        sk.climatology.us76.add_us76_standard_atmosphere(atmo)
+        atmo["rayleigh"] = sk.constituent.Rayleigh()
+        return engine.calculate_radiance(atmo)["radiance"].to_numpy()[0, 0, 0]
+
+    r_osc, _ = Geodetic().from_lat_lon_alt(45.0, 0.0, 0.0
+                                           ).osculating_spheroid()
+    r_ell = run(sk.Geometry1D(
+        cos_sza=0.6, solar_azimuth=0.0, earth_radius_m=6372000.0,
+        altitude_grid_m=alts, geometry_type=sk.GeometryType.Ellipsoidal,
+        reference_latitude_deg=45.0,
+    ))
+    r_sph_osc = run(sk.Geometry1D(
+        cos_sza=0.6, solar_azimuth=0.0, earth_radius_m=r_osc,
+        altitude_grid_m=alts, geometry_type=sk.GeometryType.Spherical,
+    ))
+    r_sph_nom = run(sk.Geometry1D(
+        cos_sza=0.6, solar_azimuth=0.0, earth_radius_m=6372000.0,
+        altitude_grid_m=alts, geometry_type=sk.GeometryType.Spherical,
+    ))
+    np.testing.assert_allclose(r_ell, r_sph_osc, rtol=1e-12)
+    # ~0.1% earth-radius change perturbs the limb path slightly but
+    # must not change the answer at leading order
+    assert r_ell != r_sph_nom
+    np.testing.assert_allclose(r_ell, r_sph_nom, rtol=0.05)
