@@ -174,6 +174,28 @@ class Config:
         if self.num_sza < 1:
             msg = "num_sza must be >= 1"
             raise ValueError(msg)
+        if self.emission_source in (
+            EmissionSource.DiscreteOrdinates, EmissionSource.TwoStream,
+        ):
+            # the DO/two-stream emission source is a term of the DO solve:
+            # it requires the DO single-scatter mode and a DO-family
+            # multiple-scatter source (reference engine validation,
+            # tests/input_validation/test_emission_validation.py)
+            if self.single_scatter_source != SingleScatterSource.DiscreteOrdinates:
+                msg = (
+                    "emission_source=DiscreteOrdinates/TwoStream requires "
+                    "single_scatter_source=DiscreteOrdinates"
+                )
+                raise ValueError(msg)
+            if self.multiple_scatter_source not in (
+                MultipleScatterSource.DiscreteOrdinates,
+                MultipleScatterSource.TwoStream,
+            ):
+                msg = (
+                    "emission_source=DiscreteOrdinates/TwoStream requires "
+                    "a discrete-ordinates multiple_scatter_source"
+                )
+                raise ValueError(msg)
 
     # convenience used throughout the solver stack
     @property
