@@ -7,6 +7,7 @@ coulsen.ipynb`` cell 1 output: tau=0.5 Rayleigh, ssa=1, mu0=0.2, albedo=0,
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from sasktran2_tpu.rt import disco, disco_vec
@@ -115,3 +116,42 @@ def test_coulson_tables():
                                atol=1e-6)
     np.testing.assert_allclose(rad[:, 2], COULSON_IQU_PI[:, 2], rtol=2e-3,
                                atol=1e-6)
+
+
+@pytest.mark.parametrize("thick", [False, True])
+def test_polarized_vs_brute_force(thick):
+    """Polarized DO vs the independent matrix-exponential oracle
+    (bruteforce.solve_brute_vector): same mode formulation, completely
+    different solver (expm + pivoted global BVP + trapezoid source
+    integration vs Cholesky/Jacobi eigensolve + Green's functions +
+    block-tridiagonal elimination). Complements the single-OD Coulson
+    anchor with arbitrary greeks at two optical-depth regimes."""
+    from .bruteforce import solve_brute_vector
+
+    rng = np.random.default_rng(5 + thick)
+    P, L, nstr = 4, 4, 8
+    dtau = rng.uniform(0.5, 1.2, P) if thick else rng.uniform(0.1, 0.6, P)
+    omega = rng.uniform(0.4, 0.95, P)
+    a1 = np.zeros((P, L)); a1[:, 0] = 1.0; a1[:, 2] = 0.5
+    a2 = np.zeros((P, L)); a2[:, 2] = 3.0 * rng.uniform(0.5, 1.0, P)
+    a3 = np.zeros((P, L))
+    b1 = np.zeros((P, L)); b1[:, 2] = np.sqrt(6) / 2 * rng.uniform(0.5, 1.0, P)
+    albedo, mu0 = 0.3, 0.55
+    user_mu = np.array([0.75, 0.4, 0.6])
+    user_up = np.array([True, True, False])
+    user_azi = np.array([0.7, 2.1, 1.3])
+
+    tables = disco_vec.build_vector_mode_tables(
+        nstr, L, mu0, user_mu, num_azimuth=3
+    )
+    r_vec = np.asarray(disco_vec.solve_plane_parallel_vector(
+        jnp.asarray(dtau)[None], jnp.asarray(omega)[None],
+        jnp.asarray(a1)[None], jnp.asarray(a2)[None],
+        jnp.asarray(a3)[None], jnp.asarray(b1)[None],
+        jnp.asarray([albedo]), tables, user_up, user_azi,
+    ))[0]
+    r_brute = solve_brute_vector(
+        dtau, omega, a1, a2, a3, b1, albedo, mu0, nstr,
+        user_mu, user_up, user_azi, num_azimuth=3, nsub=400,
+    )
+    np.testing.assert_allclose(r_vec, r_brute, rtol=2e-5, atol=1e-7)
