@@ -533,10 +533,15 @@ def successive_orders_field(
             * jnp.einsum("wvl,wvld->wvd", leg_coeff, gi)
         )
 
+    # gather BOTH interpolation axes up front: [W, R, S, 2, 2lev, 4dir]
+    # stays ~MB-scale even for dense direction grids, where interpolating
+    # levels first would materialize the full [.., D] axis per endpoint
+    gather_idx_l = sli[..., :, None]          # [R, S, 2, 2, 1]
+    gather_idx_d = sdi[..., None, :]          # [R, S, 2, 1, 4]
+
     def transport_simple(j_field):
-        jl = jnp.einsum("wrsekd,rsek->wrsed", j_field[:, sli, :], slw)
-        je = jnp.take_along_axis(jl, sdi[None], axis=-1)
-        je = jnp.einsum("wrsek,rsek->wrse", je, sdw)
+        jg = j_field[:, gather_idx_l, gather_idx_d]  # [W, R, S, 2, 2, 4]
+        je = jnp.einsum("wrsekq,rsek,rseq->wrse", jg, slw, sdw)
         seg_src = factor * 0.5 * (je[..., 0] + je[..., 1]) * mask
         return jnp.sum(seg_src * trans, axis=-1).reshape(-1, V, D)
 
@@ -776,12 +781,16 @@ def successive_orders_field_polarized(
     sdi = jnp.asarray(geom.src_dir_idx)
     sdw = jnp.asarray(geom.src_dir_w, dtype=dt)
 
+    gather_idx_l = sli[..., :, None]          # [R, S, 2, 2, 1]
+    gather_idx_d = sdi[..., None, :]          # [R, S, 2, 1, 4]
+
     def transport(j_field):
-        # componentwise (see module note on the interp-basis approximation)
+        # componentwise (see module note on the interp-basis approximation);
+        # both interpolation axes gathered up front to avoid materializing
+        # the full direction axis per segment endpoint
         def one(jc):
-            jl = jnp.einsum("wrsekd,rsek->wrsed", jc[:, sli, :], slw)
-            je = jnp.take_along_axis(jl, sdi[None], axis=-1)
-            je = jnp.einsum("wrsek,rsek->wrse", je, sdw)
+            jg = jc[:, gather_idx_l, gather_idx_d]  # [W, R, S, 2, 2, 4]
+            je = jnp.einsum("wrsekq,rsek,rseq->wrse", jg, slw, sdw)
             ss_ = factor * 0.5 * (je[..., 0] + je[..., 1]) * mask
             return jnp.sum(ss_ * trans, axis=-1).reshape(-1, V, D)
 
@@ -845,7 +854,13 @@ def observer_source_tables(traced: TracedRays, geom: SOGeometry):
     for r in range(R):
         for b in range(B):
             mu = np.clip(traced.cos_zenith[r, b], xs[0], xs[-1])
-            phi = traced.boundary_relazi[r, b] % (2.0 * np.pi)
+            # boundary_relazi is the SUN's azimuth relative to the LOS
+            # direction; the SO grid's phi is the DIRECTION's azimuth
+            # relative to the sun — negatives of each other. Scalar/I/Q
+            # are even in azimuth and insensitive; U is odd and flips
+            # sign if the conventions are mixed (caught by the polarized
+            # SO-vs-DO multiple-scatter-only comparison).
+            phi = (-traced.boundary_relazi[r, b]) % (2.0 * np.pi)
             i = int(np.clip(np.searchsorted(xs, mu) - 1, 0, len(xs) - 2))
             f = np.clip((mu - xs[i]) / (xs[i + 1] - xs[i]), 0.0, 1.0)
             j = int(np.floor((phi - phis[0]) / dphi)) % nphi
