@@ -536,7 +536,8 @@ class Engine:
                     )[0]
                     rad = rad.at[jnp.asarray(idx)].add(r)
 
-            for idx, tables_list in self._limb_groups:
+            limb_groups = [] if skip_do_groups else self._limb_groups
+            for idx, tables_list in limb_groups:
                 j_in_list, j_out_list = [], []
                 for tables in tables_list:
                     _, internal = disco.solve_plane_parallel(
@@ -923,8 +924,7 @@ class Engine:
             not self._is_2d
             and self._config.num_stokes == 1
             and self._needs_do
-            and bool(self._do_groups)
-            and not self._limb_groups
+            and bool(self._do_groups or self._limb_groups)
             and not self._needs_so
             and getattr(self, "_surface_brdf", None) is None
         )
@@ -977,6 +977,52 @@ class Engine:
                 **thermal_kw,
             )  # [U, W]
             rad = rad.at[:, jnp.asarray(idx)].add(jnp.moveaxis(r, 0, -1))
+
+        # limb groups: wavelength-minor N-stream internals + segment
+        # sources (exactly the generic limb block, batched over W)
+        if self._limb_groups:
+            from .rt import do_source as do_source_mod
+            from .rt.singlescatter import integrate_od_source
+
+            for idx, tables_list in self._limb_groups:
+                j_in_list, j_out_list = [], []
+                for tables in tables_list:
+                    _, internal = solve_nstream(
+                        dtau_t, omega_t, beta_t, alb, tables,
+                        np.array([True]), np.array([0.0]),
+                        include_ss=self._do_include_ss,
+                        chapman=chapman.get(tables.mu0),
+                        f0=f0,
+                        return_internal=True,
+                        **thermal_kw,
+                    )
+                    ji, jo = do_source_mod.ms_source_along_rays_minor(
+                        internal, self._traced, self._ray_ms_tables,
+                        include_ss=self._do_include_ss,
+                    )
+                    j_in_list.append(jnp.moveaxis(ji, -1, 0))   # [W, R, S]
+                    j_out_list.append(jnp.moveaxis(jo, -1, 0))
+                if len(tables_list) == 1:
+                    j_in, j_out = j_in_list[0], j_out_list[0]
+                else:
+                    wts = jnp.asarray(
+                        self._limb_sza_weights, dtype=ext.dtype
+                    )
+                    ji_stack = jnp.stack(j_in_list, axis=-1)
+                    jo_stack = jnp.stack(j_out_list, axis=-1)
+                    S = ji_stack.shape[-2]
+                    j_in = jnp.einsum(
+                        "wrsn,rsn->wrs", ji_stack, wts[:, :S]
+                    )
+                    j_out = jnp.einsum(
+                        "wrsn,rsn->wrs", jo_stack, wts[:, 1:S + 1]
+                    )
+                ms_rad = integrate_od_source(
+                    ext, j_in, j_out, self._traced
+                )  # [W, nlos]
+                rad = rad.at[:, jnp.asarray(idx)].add(
+                    ms_rad[:, jnp.asarray(idx)]
+                )
         return rad
 
     def _flux_groups_batched(self, core):

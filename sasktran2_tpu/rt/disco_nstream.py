@@ -365,6 +365,7 @@ def solve_nstream(
     thermal_b0=None,
     thermal_b1_bottom=None,
     surface_emission=None,
+    return_internal: bool = False,
 ):
     """N-stream plane-parallel DO radiance, wavelength-minor.
 
@@ -446,18 +447,38 @@ def solve_nstream(
 
     def mode_body(acc, x):
         m_idx, lam, lam_sun, lam_user, parity = x
-        r_m = _mode_radiance(
+        out = _mode_radiance(
             m_idx, lam, lam_sun, lam_user, parity,
             dtau, omega, beta, t_top, sbar, t_ground,
             albedo, mu, w, mu0, user_mu, user_up, include_ss, f0,
             thermal,
+            with_levels=return_internal,
         )
+        r_m, lv = out if return_internal else (out, None)
         az = jnp.cos(m_idx * (jnp.pi - user_azimuth))[:, None]
-        return acc + az * r_m, None
+        return acc + az * r_m, lv
 
-    rad, _ = jax.lax.scan(
+    rad, levels = jax.lax.scan(
         mode_body, jnp.zeros((U, W), dtype=dt), xs
     )
+    if return_internal:
+        # levels entries stacked over modes: [M, P, N, W]
+        internal = {
+            "levels": levels,
+            "lam": np.asarray(tables.lam_stream[:M, :luse]),
+            "lam_sun": np.asarray(tables.lam_sun[:M, :luse]),
+            "parity": np.asarray(tables.parity[:M, :luse]),
+            "omega": jnp.minimum(omega, SSA_CEILING),
+            "beta": beta,
+            "t_top": t_top,
+            "sbar": sbar,
+            "dtau": dtau,
+            "w_quad": np.asarray(w),
+            "mu0": mu0,
+            "f0": f0,
+            "thermal": thermal,
+        }
+        return rad, internal
     return rad
 
 

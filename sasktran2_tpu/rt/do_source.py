@@ -18,8 +18,9 @@ Output: per-segment endpoint sources [B, R, S].
 
 from __future__ import annotations
 
-import numpy as np
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.wigner import normalized_alp
 from .disco_vec import DSIGN, NS
@@ -93,6 +94,122 @@ def ms_source_on_levels(internal, tables):
     )
     j = jnp.einsum("mbvd,md->bvd", j_m, cosm)  # [B, P+1, D] TOA-first
     return j[:, ::-1]  # bottom-up levels
+
+
+def ms_source_along_rays_minor(
+    internal, traced: TracedRays, tables, include_ss: bool,
+    ray_chunk: int = 8,
+):
+    """Wavelength-minor analog of ``ms_source_along_rays``: ``internal``
+    comes from ``disco_nstream.solve_nstream(..., return_internal=True)``
+    (fields [M, P, N, W] with W in the lane axis).
+
+    The per-segment Legendre contraction is evaluated in ``ray_chunk``-ray
+    slices via ``lax.map`` so the [chunk, S, L, W] gather intermediate
+    stays a few MB instead of the [M, R, S, L, W] tensor a direct einsum
+    would materialize at production W.
+
+    Returns (j_entrance, j_exit) each [R, S, W].
+    """
+    levels = internal["levels"]    # [M, P, N, W]
+    omega = internal["omega"]      # [P, W]
+    beta = internal["beta"]        # [L, P, W]
+    t_top = internal["t_top"]
+    sbar = internal["sbar"]
+    dtau = internal["dtau"]
+    lam = jnp.asarray(internal["lam"], dtype=omega.dtype)      # [M, L, N]
+    lam_sun = jnp.asarray(internal["lam_sun"], dtype=omega.dtype)
+    parity = jnp.asarray(internal["parity"], dtype=omega.dtype)
+    wq = jnp.asarray(internal["w_quad"], dtype=omega.dtype)    # [N]
+    f0 = internal["f0"]
+
+    dt = omega.dtype
+    lam_b = jnp.asarray(tables["lam_b"], dtype=dt)  # [M, L', R, S+1]
+    cosm = jnp.asarray(tables["cosm"], dtype=dt)    # [M, R, S+1]
+    seg_layer = jnp.asarray(traced.seg_layer)       # [R, S]
+    f_in = jnp.asarray(traced.seg_entrance_frac, dtype=dt)
+    f_out = jnp.asarray(traced.seg_exit_frac, dtype=dt)
+
+    M, L = parity.shape
+    lam_b = lam_b[:, :L]
+    R, S = seg_layer.shape
+
+    def stream_sums(ip, im):
+        # [M, P, L, W]
+        s1 = jnp.einsum("mln,mpnw->mplw", lam, ip * wq[:, None])
+        s2 = jnp.einsum("mln,mpnw->mplw", lam, im * wq[:, None])
+        return s1 + parity[:, None, :, None] * s2
+
+    g_top = stream_sums(levels["i_plus_top"], levels["i_minus_top"])
+    g_bot = stream_sums(levels["i_plus_bot"], levels["i_minus_bot"])
+
+    # fold omega/beta into layer-space coefficients once: [M, P, L, W]
+    beta_plw = jnp.moveaxis(beta, 0, 1)              # [P, L, W]
+    cdiff_top = 0.5 * omega[None, :, None, :] * beta_plw[None] * g_top
+    cdiff_bot = 0.5 * omega[None, :, None, :] * beta_plw[None] * g_bot
+    mvals = jnp.arange(M)
+    two_minus_delta = jnp.where(mvals == 0, 1.0, 2.0).astype(dt)
+    cbeam = (
+        omega[None, :, None, :] / (4.0 * jnp.pi)
+        * beta_plw[None]
+        * (parity * lam_sun * two_minus_delta[:, None])[:, None, :, None]
+    )                                                # [M, P, L, W]
+
+    beam_amp = t_top * f0[None, :]                   # [P, W]
+
+    pad = (-R) % ray_chunk
+    seg_layer_p = jnp.pad(seg_layer, ((0, pad), (0, 0)))
+    lam_b_p = jnp.pad(lam_b, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    cosm_p = jnp.pad(cosm, ((0, 0), (0, pad), (0, 0)))
+    f_in_p = jnp.pad(f_in, ((0, pad), (0, 0)))
+    f_out_p = jnp.pad(f_out, ((0, pad), (0, 0)))
+    nch = (R + pad) // ray_chunk
+
+    def chunk_body(args):
+        sl, lb, cm, fi, fo = args   # [C,S], [M,L,C,S+1], [M,C,S+1], [C,S]
+        ct = cdiff_top[:, sl]       # [M, C, S, L, W]
+        cb = cdiff_bot[:, sl]
+        cbm = cbeam[:, sl]
+        om_t = omega[sl]            # [C, S, W]
+        amp = beam_amp[sl]
+        sb = sbar[sl]
+        dtv = dtau[sl]
+
+        def endpoint(frac, off):
+            lam_pts = lb[:, :, :, off:S + off]          # [M, L, C, S]
+            cos_pts = cm[:, :, off:S + off]             # [M, C, S]
+            c = ct * (1.0 - frac)[None, :, :, None, None] + cb * frac[
+                None, :, :, None, None
+            ]
+            j = jnp.einsum("mlcs,mcslw->mcsw", lam_pts, c)
+            if include_ss:
+                tb = amp * jnp.exp(-sb * dtv * frac[..., None])
+                j = j + jnp.einsum("mlcs,mcslw->mcsw", lam_pts, cbm) * tb
+            out = jnp.einsum("mcsw,mcs->csw", j, cos_pts)
+            thermal = internal.get("thermal")
+            if thermal is not None:
+                b0, b1, _ = thermal
+                out = out + (1.0 - om_t) * b0[sl] * jnp.exp(
+                    -b1[sl] * dtv * frac[..., None]
+                )
+            return out
+
+        return endpoint(fi, 0), endpoint(fo, 1)
+
+    xs = (
+        seg_layer_p.reshape(nch, ray_chunk, S),
+        jnp.moveaxis(
+            lam_b_p.reshape(M, L, nch, ray_chunk, S + 1), 2, 0
+        ),
+        jnp.moveaxis(cosm_p.reshape(M, nch, ray_chunk, S + 1), 1, 0),
+        f_in_p.reshape(nch, ray_chunk, S),
+        f_out_p.reshape(nch, ray_chunk, S),
+    )
+    j_in_ch, j_out_ch = jax.lax.map(chunk_body, xs)
+    W = omega.shape[-1]
+    j_in = j_in_ch.reshape(nch * ray_chunk, S, W)[:R]
+    j_out = j_out_ch.reshape(nch * ray_chunk, S, W)[:R]
+    return j_in, j_out
 
 
 def build_ray_vector_tables(traced: TracedRays, nleg: int, num_azimuth: int):

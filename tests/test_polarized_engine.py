@@ -7,16 +7,18 @@ from sasktran2_tpu.test_util.wf import numeric_wf, validate_wf
 
 
 def _setup():
+    # nstr=4 / 13 levels: DOLP and analytic-vs-FD assertions compare the
+    # engine against itself or robust bounds; sized for compile time
     config = sk.Config(
-        num_streams=8,
+        num_streams=4,
         num_stokes=3,
         multiple_scatter_source=sk.MultipleScatterSource.DiscreteOrdinates,
         single_scatter_source=sk.SingleScatterSource.DiscreteOrdinates,
-        num_singlescatter_moments=8,
+        num_singlescatter_moments=4,
     )
     geometry = sk.Geometry1D(
         cos_sza=0.6, solar_azimuth=0.0, earth_radius_m=6372000.0,
-        altitude_grid_m=np.linspace(0, 60000, 21),
+        altitude_grid_m=np.linspace(0, 60000, 13),
         geometry_type=sk.GeometryType.PlaneParallel,
     )
     viewing = sk.ViewingGeometry()
@@ -29,8 +31,8 @@ def test_polarized_rayleigh_engine():
     config, geometry, viewing = _setup()
     engine = sk.Engine(config, geometry, viewing)
     atmo = sk.Atmosphere(geometry, config, wavelengths_nm=np.array([450.0]))
-    atmo.pressure_pa = 101325 * np.exp(-np.linspace(0, 60000, 21) / 7500)
-    atmo.temperature_k = np.full(21, 250.0)
+    atmo.pressure_pa = 101325 * np.exp(-np.linspace(0, 60000, 13) / 7500)
+    atmo.temperature_k = np.full(13, 250.0)
     atmo["rayleigh"] = sk.constituent.Rayleigh()
     atmo["surface"] = sk.constituent.LambertianSurface(0.2)
     out = engine.calculate_radiance(atmo)
@@ -175,7 +177,7 @@ def test_polarized_wf_extinction():
     config, geometry, viewing = _setup()
     engine = sk.Engine(config, geometry, viewing)
     atmo = sk.Atmosphere(geometry, config, numwavel=1)
-    alts = np.linspace(0, 60000, 21)
+    alts = np.linspace(0, 60000, 13)
     atmo.storage.total_extinction[:] = (7e-5 * np.exp(-alts / 7000))[:, None]
     atmo.storage.ssa[:] = 0.9
     a1 = atmo.leg_coeff.a1
