@@ -1168,7 +1168,27 @@ class Engine:
                     jnp.eye(nout, dtype=out.dtype)[:, None, :],
                     (nout,) + out.shape,
                 )
-                grads = jax.vmap(vjp)(seeds)[0]  # dict [nout, W, ...]
+                # chunk the seed axis: a fully vmapped vjp carries the
+                # output axis on EVERY solver cotangent, which at
+                # production W x many-LOS limb scans exceeds HBM
+                # (measured 27 GB at nout=20, W=512, nstr=16); chunks of
+                # 4 bound cotangent memory while sharing the forward
+                # residuals across chunks
+                chunk = 4
+                if nout <= chunk:
+                    grads = jax.vmap(vjp)(seeds)[0]
+                else:
+                    padn = (-nout) % chunk
+                    seeds_p = jnp.pad(
+                        seeds, ((0, padn),) + ((0, 0),) * (seeds.ndim - 1)
+                    ).reshape((nout + padn) // chunk, chunk, *out.shape)
+                    grads = jax.lax.map(
+                        lambda s: jax.vmap(vjp)(s)[0], seeds_p
+                    )
+                    grads = {
+                        k: v.reshape((nout + padn,) + v.shape[2:])[:nout]
+                        for k, v in grads.items()
+                    }
                 grads = {
                     k: jnp.moveaxis(v, 0, 1) for k, v in grads.items()
                     if needs_leg_jac or k != "leg_coeff"

@@ -445,15 +445,23 @@ def solve_nstream(
     U = len(user_mu)
     W = dtau.shape[-1]
 
-    def mode_body(acc, x):
-        m_idx, lam, lam_sun, lam_user, parity = x
-        out = _mode_radiance(
+    # remat per mode: the scan's backward pass otherwise saves every
+    # mode's [P, 2N, 2N, W] BVP residuals (M x 800 MB at nstr=16, P=100,
+    # W=512) — recomputing a mode during the backward sweep is far cheaper
+    # than spilling those to HBM
+    @jax.checkpoint
+    def _mode_ckpt(m_idx, lam, lam_sun, lam_user, parity):
+        return _mode_radiance(
             m_idx, lam, lam_sun, lam_user, parity,
             dtau, omega, beta, t_top, sbar, t_ground,
             albedo, mu, w, mu0, user_mu, user_up, include_ss, f0,
             thermal,
             with_levels=return_internal,
         )
+
+    def mode_body(acc, x):
+        m_idx, lam, lam_sun, lam_user, parity = x
+        out = _mode_ckpt(m_idx, lam, lam_sun, lam_user, parity)
         r_m, lv = out if return_internal else (out, None)
         az = jnp.cos(m_idx * (jnp.pi - user_azimuth))[:, None]
         return acc + az * r_m, lv

@@ -98,7 +98,7 @@ def ms_source_on_levels(internal, tables):
 
 def ms_source_along_rays_minor(
     internal, traced: TracedRays, tables, include_ss: bool,
-    ray_chunk: int = 8,
+    ray_chunk: int = 2,
 ):
     """Wavelength-minor analog of ``ms_source_along_rays``: ``internal``
     comes from ``disco_nstream.solve_nstream(..., return_internal=True)``
@@ -107,7 +107,11 @@ def ms_source_along_rays_minor(
     The per-segment Legendre contraction is evaluated in ``ray_chunk``-ray
     slices via ``lax.map`` so the [chunk, S, L, W] gather intermediate
     stays a few MB instead of the [M, R, S, L, W] tensor a direct einsum
-    would materialize at production W.
+    would materialize at production W. Under a broadcast-seeded vjp the
+    backward temp additionally carries the output (LOS) axis, so the
+    default chunk is small: peak HBM ~ M * chunk * S * L * W * nout * 4 B
+    inside the transpose loop (measured: chunk=8 OOMs a 16 GB v5e at
+    W=512, nstr=16, 20 limb LOS; chunk=2 fits).
 
     Returns (j_entrance, j_exit) each [R, S, W].
     """
