@@ -153,6 +153,61 @@ def _build_engine_2str(W, nalt=101):
     return run
 
 
+def _build_engine_limb16(W, nalt=101, nlos=20, nstr=16):
+    """Flagship limb workload end-to-end: 16-stream spherical limb scan
+    (SZA-interpolated DO source on the wavelength-minor fast path) with
+    full Jacobians through the public API. The round-2 formulation could
+    not even compile this configuration."""
+    import sasktran2_tpu as sk
+    from sasktran2_tpu.climatology import add_us76_standard_atmosphere
+
+    config = sk.Config(
+        num_streams=nstr,
+        multiple_scatter_source=sk.MultipleScatterSource.DiscreteOrdinates,
+        single_scatter_source=sk.SingleScatterSource.Exact,
+        num_singlescatter_moments=nstr,
+        num_do_sza=2,
+        dtype="float32",
+    )
+    geometry = sk.Geometry1D(
+        cos_sza=0.6, solar_azimuth=0.0, earth_radius_m=6372000.0,
+        altitude_grid_m=np.linspace(0, 100000, nalt),
+        geometry_type=sk.GeometryType.Spherical,
+    )
+    viewing = sk.ViewingGeometry()
+    for talt in np.linspace(10000, 80000, nlos):
+        viewing.add_ray(sk.TangentAltitudeSolar(float(talt), 0.4, 2e5, 0.6))
+    engine = sk.Engine(config, geometry, viewing)
+    wavel = np.linspace(280.0, 800.0, W)
+
+    def run(scale):
+        atmo = sk.Atmosphere(geometry, config, wavelengths_nm=wavel)
+        add_us76_standard_atmosphere(atmo)
+        atmo.pressure_pa = atmo.pressure_pa * scale
+        atmo["rayleigh"] = sk.constituent.Rayleigh()
+        atmo["surface"] = sk.constituent.LambertianSurface(0.3)
+        out = engine.calculate_radiance(atmo)
+        return float(out["radiance"].to_numpy().ravel()[0])
+
+    return run, nlos
+
+
+def _case_engine_limb16(W):
+    import time as _t
+
+    run, nlos = _build_engine_limb16(W)
+    run(1.0)  # compile
+    times = []
+    for i in range(3):
+        t0 = _t.perf_counter()
+        run(1.0 + 1e-5 * (i + 1))
+        times.append(_t.perf_counter() - t0)
+    times.sort()
+    # wavelength-LOS solves/s (each wavelength solves nlos limb outputs
+    # with full Jacobians)
+    return W * nlos / times[len(times) // 2]
+
+
 def _case_engine_2str(W):
     import time as _t
 
@@ -219,6 +274,7 @@ CASES = {
     "2str_fast_16k": (lambda: _case_twostream(16384), 240),
     "2str_engine_1k": (lambda: _case_engine_2str(1024), 300),
     "16str_1k": (lambda: _case_nstream_minor(16, 1024), 420),
+    "16str_limb_256": (lambda: _case_engine_limb16(256), 560),
 }
 
 _case_cache = {}
@@ -271,6 +327,7 @@ def main():
     solves_engine = _run_case_subprocess("2str_engine_1k")
     W16 = 1024
     solves16 = _run_case_subprocess("16str_1k")
+    solves_limb = _run_case_subprocess("16str_limb_256")
 
     baseline_2str = 17.0  # ref CPU thread, 100 lyr, 2 str, with Jacobians
     # 16-stream CPU anchor: timing.ipynb nstr sweep reaches ~158 ms by ~10
@@ -296,6 +353,9 @@ def main():
                     ),
                     "solves_per_sec_engine_path_2str": (
                         round(solves_engine, 1) if solves_engine else None
+                    ),
+                    "limb16_wavelength_los_solves_per_sec_jac": (
+                        round(solves_limb, 1) if solves_limb else None
                     ),
                     "batch_2str": W,
                     "batch_16str": W16,
