@@ -315,54 +315,42 @@ def _lane_jacobi_scan_impl(a, sweeps=None):
         sweeps = 7 if a.dtype == jnp.float32 else 10
 
     p_t, q_t, perm_t, sign_t, pair_t = _stacked_round_tables(npad)
-    xs = (
-        jnp.asarray(p_t),
-        jnp.asarray(q_t),
-        jnp.asarray(perm_t),
-        jnp.asarray(sign_t, dtype=a.dtype),
-        jnp.asarray(pair_t),
-    )
-
     eye = jnp.eye(npad, dtype=a.dtype)[..., None]
     v0 = jnp.broadcast_to(eye, a.shape)
 
-    def round_body(carry, x):
-        a_c, v_c = carry
-        p, q, perm, sign, pair = x
-        d = jnp.moveaxis(
-            jnp.diagonal(a_c, axis1=-3, axis2=-2), -1, -2
-        )                                                   # [..., n, W]
-        app = jnp.take(d, p, axis=-2)                       # [..., n/2, W]
-        aqq = jnp.take(d, q, axis=-2)
-        rows = jnp.take(a_c, p, axis=-3)                    # [..., n/2, n, W]
-        idxq = jnp.broadcast_to(
-            q.reshape((1,) * (rows.ndim - 3) + (-1, 1, 1)),
-            rows.shape[:-2] + (1, rows.shape[-1]),
-        )
-        apq = jnp.take_along_axis(rows, idxq, axis=-2)[..., 0, :]
-        theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
-        # exactly-zero pivots must not rotate (odd-n pad isolation)
-        theta = jnp.where(apq == 0.0, 0.0, theta)
-        c_full = jnp.take(jnp.cos(theta), pair, axis=-2)    # [..., n, W]
-        s_full = jnp.take(jnp.sin(theta), pair, axis=-2)
-        coeff = -sign[:, None] * s_full
-        a_c = (
-            a_c * c_full[..., None, :, :]
-            + jnp.take(a_c, perm, axis=-2) * coeff[..., None, :, :]
-        )
-        a_c = (
-            a_c * c_full[..., :, None, :]
-            + jnp.take(a_c, perm, axis=-3) * coeff[..., :, None, :]
-        )
-        v_c = (
-            v_c * c_full[..., None, :, :]
-            + jnp.take(v_c, perm, axis=-2) * coeff[..., None, :, :]
-        )
-        return (a_c, v_c), None
-
+    # one SWEEP per scan step, with the n-1 rounds unrolled inside the
+    # body using STATIC index tables: the gathers become compile-time
+    # permutations (cheap slices/concats on TPU, vs dynamic gathers when
+    # the round tables are scanned in), and the HLO stays O(rounds) —
+    # small for n <= 32
     def sweep_body(carry, _):
-        carry, _ = jax.lax.scan(round_body, carry, xs)
         a_c, v_c = carry
+        for r in range(len(p_t)):
+            p, q = p_t[r], q_t[r]
+            perm = perm_t[r]
+            sign = jnp.asarray(sign_t[r], dtype=a_c.dtype)[:, None]
+            pair = pair_t[r]
+            app = a_c[..., p, p, :]                         # [..., n/2, W]
+            aqq = a_c[..., q, q, :]
+            apq = a_c[..., p, q, :]
+            theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+            # exactly-zero pivots must not rotate (odd-n pad isolation)
+            theta = jnp.where(apq == 0.0, 0.0, theta)
+            c_full = jnp.cos(theta)[..., pair, :]           # [..., n, W]
+            s_full = jnp.sin(theta)[..., pair, :]
+            coeff = -sign * s_full
+            a_c = (
+                a_c * c_full[..., None, :, :]
+                + jnp.take(a_c, perm, axis=-2) * coeff[..., None, :, :]
+            )
+            a_c = (
+                a_c * c_full[..., :, None, :]
+                + jnp.take(a_c, perm, axis=-3) * coeff[..., :, None, :]
+            )
+            v_c = (
+                v_c * c_full[..., None, :, :]
+                + jnp.take(v_c, perm, axis=-2) * coeff[..., None, :, :]
+            )
         a_c = 0.5 * (a_c + jnp.swapaxes(a_c, -3, -2))
         return (a_c, v_c), None
 
@@ -434,9 +422,16 @@ def _thomas_broadcast(lower, diag, upper, rhs):
     return lo, di, up, r
 
 
-def _thomas_batched(lo, di, up, r):
-    """Run the scan with the layer axis moved to the front and any batch
-    dims folded into the body (scan carries the full batch)."""
+def _thomas_batched(lo, di, up, r, use_cr: bool = False):
+    """Block-tridiagonal solve used by both the primal and the adjoint of
+    ``lane_block_thomas_solve``. The scan-based Thomas sweep wins on TPU
+    at production shapes (measured at nstr=16, P=100, W=1024: 4005
+    solves/s vs 2552 for log-depth cyclic reduction — with W in the lanes
+    each sequential step already has full vector-unit width, so CR's 2x
+    FLOPs and larger graph cost more than its latency saves); ``use_cr``
+    keeps the CR variant available for narrow-W workloads."""
+    if use_cr:
+        return lane_block_tridiag_solve(lo, di, up, r)
     x = _thomas_forward(
         jnp.moveaxis(lo, -4, 0),
         jnp.moveaxis(di, -4, 0),

@@ -215,8 +215,9 @@ def test_engine_twostream_wf_vs_fd():
 
 def test_twostream_jacobians_match_disco():
     """Per-wavelength Jacobians via one broadcast vjp equal the generic
-    solver's per-wavelength vjp."""
-    dtau, omega, beta, albedo = _case(W=4, P=10, seed=9)
+    solver's per-wavelength vjp. (Small sizes: layout-vs-layout identity,
+    sized for compile time.)"""
+    dtau, omega, beta, albedo = _case(W=2, P=6, seed=9)
     user_mu = np.array([0.8])
     tables = disco.build_mode_tables(2, beta.shape[-1], 0.6, user_mu,
                                      num_azimuth=2)
