@@ -216,3 +216,71 @@ def test_ellipsoidal_geometry_limb():
     # must not change the answer at leading order
     assert r_ell != r_sph_nom
     np.testing.assert_allclose(r_ell, r_sph_nom, rtol=0.05)
+
+
+def test_extending_doc_constituent_example():
+    """The docs/extending.md custom-constituent example runs end-to-end
+    and its registered weighting function matches finite differences."""
+    import sasktran2_tpu as sk
+    from sasktran2_tpu.constituent.base import Constituent
+    from sasktran2_tpu.util.state import EquationOfState
+
+    class SpectrallyFlatAbsorber(Constituent):
+        def __init__(self, vmr, xsec_m2=1e-25):
+            self._vmr = vmr
+            self._xsec = xsec_m2
+
+        def add_to_atmosphere(self, atmo):
+            eos = EquationOfState(
+                atmo.pressure_pa, atmo.temperature_k, None
+            )
+            nd = eos.air_numberdensity["N"]
+            atmo.storage.total_extinction += (
+                self._xsec * (nd * self._vmr)[:, None]
+            )
+
+        def register_derivative(self, atmo, name):
+            eos = EquationOfState(
+                atmo.pressure_pa, atmo.temperature_k, None
+            )
+            nd = eos.air_numberdensity["N"]
+            m = atmo.storage.get_derivative_mapping(f"wf_{name}_vmr")
+            m.d_extinction[:] = self._xsec * nd[:, None]
+            m.d_ssa[:] = -atmo.storage.ssa / np.maximum(
+                atmo.storage.total_extinction, 1e-300
+            ) * m.d_extinction
+            m.interp_dim = "altitude"
+
+    config = sk.Config(
+        num_streams=2,
+        multiple_scatter_source=sk.MultipleScatterSource.TwoStream,
+        single_scatter_source=sk.SingleScatterSource.DiscreteOrdinates,
+        num_singlescatter_moments=4,
+    )
+    geometry = sk.Geometry1D(
+        cos_sza=0.6, solar_azimuth=0.0, earth_radius_m=6372000.0,
+        altitude_grid_m=np.linspace(0, 60000, 11),
+        geometry_type=sk.GeometryType.PlaneParallel,
+    )
+    viewing = sk.ViewingGeometry()
+    viewing.add_ray(sk.GroundViewingSolar(0.6, 0.3, 0.8, 2e5))
+    engine = sk.Engine(config, geometry, viewing)
+
+    def run(vmr):
+        atmo = sk.Atmosphere(geometry, config,
+                             wavelengths_nm=np.array([450.0]))
+        sk.climatology.us76.add_us76_standard_atmosphere(atmo)
+        atmo["rayleigh"] = sk.constituent.Rayleigh()
+        atmo["my_gas"] = SpectrallyFlatAbsorber(vmr)
+        atmo["surface"] = sk.constituent.LambertianSurface(0.3)
+        return engine.calculate_radiance(atmo)
+
+    out = run(1e-6)
+    wf = out["wf_my_gas_vmr"].to_numpy()
+    assert wf.shape[0] == 11
+    h = 1e-9
+    fd = (
+        run(1e-6 + h)["radiance"].to_numpy()
+        - run(1e-6 - h)["radiance"].to_numpy()
+    )[0, 0, 0] / (2 * h)
+    np.testing.assert_allclose(wf.sum(axis=0)[0, 0, 0], fd, rtol=1e-4)
