@@ -15,9 +15,25 @@ wavelength-solves/sec. ``vs_baseline`` is the speedup over the reference's
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache for the bench subprocesses: the axon
+    compile helper's latency varies a lot over a session (95 s -> 385 s
+    observed for an identical 16-stream graph), and fallback cases would
+    otherwise pay a full recompile. Serialized executables are keyed by
+    HLO + compiler version, so this never changes results."""
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_jax_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _build_twostream(W, P=100, L=40, dtype=None):
@@ -270,11 +286,11 @@ def _case_nstream_minor(nstr, W):
 CASES = {
     # name -> (thunk, timeout_s). Sizes from on-device sweeps; timeouts
     # cover compile (cold, through the device tunnel) + 6 runs.
-    "2str_fast_32k": (lambda: _case_twostream(32768), 300),
-    "2str_fast_16k": (lambda: _case_twostream(16384), 240),
-    "2str_engine_1k": (lambda: _case_engine_2str(1024), 300),
-    "16str_1k": (lambda: _case_nstream_minor(16, 1024), 420),
-    "16str_limb_256": (lambda: _case_engine_limb16(256), 560),
+    "2str_fast_32k": (lambda: _case_twostream(32768), 420),
+    "2str_fast_16k": (lambda: _case_twostream(16384), 360),
+    "2str_engine_1k": (lambda: _case_engine_2str(1024), 360),
+    "16str_1k": (lambda: _case_nstream_minor(16, 1024), 480),
+    "16str_limb_256": (lambda: _case_engine_limb16(256), 900),
 }
 
 _case_cache = {}
@@ -369,6 +385,7 @@ if __name__ == "__main__":
     import sys
 
     if len(sys.argv) >= 3 and sys.argv[1] == "--case":
+        _enable_compile_cache()
         solves = CASES[sys.argv[2]][0]()
         print(f"CASE_RESULT {solves}", flush=True)
     else:

@@ -22,8 +22,12 @@ TPU-first architecture (vs the reference's C++ per-wavelength loops,
 from __future__ import annotations
 
 import functools
+import logging
+import time
 
 import jax
+
+_LOG = logging.getLogger(__name__)
 import jax.numpy as jnp
 import numpy as np
 
@@ -1241,6 +1245,15 @@ class Engine:
         with_flux = len(self._flux_observers) > 0 and self._needs_do
         key = (needs_leg_jac, needs_jac, with_flux)
         if self._compute_jit is None or self._jit_key != key:
+            # solve-level observability (reference Tracy zones /
+            # spdlog analog): variant retraces and per-call wall time at
+            # DEBUG level on the `sasktran2_tpu.engine` logger
+            _LOG.debug(
+                "tracing new compute variant: needs_leg_jac=%s "
+                "needs_jac=%s with_flux=%s fast_path=%s",
+                needs_leg_jac, needs_jac, with_flux,
+                self._twostream_fast_ok(),
+            )
             self._compute_jit = self._build_jit(
                 needs_leg_jac, needs_jac, with_flux
             )
@@ -1254,12 +1267,20 @@ class Engine:
             from .parallel import shard_core_wavelength
 
             core, W_in = shard_core_wavelength(core, mesh)
+        t0 = time.perf_counter()
         full, grads = self._compute_jit(core)
         if mesh is not None:
             # trim the shard padding on every wavelength-leading output
             full = full[:W_in]
             grads = {k: v[:W_in] for k, v in grads.items()}
         full = np.asarray(full)
+        if _LOG.isEnabledFor(logging.DEBUG):
+            _LOG.debug(
+                "calculate_radiance: W=%d nlos=%d jac=%s "
+                "device-dispatch+host-fetch %.3f s",
+                W_in, len(self._rays), needs_jac,
+                time.perf_counter() - t0,
+            )
         nlos = len(self._rays)
         nstokes = self._config.num_stokes
         nrad = nlos * nstokes
