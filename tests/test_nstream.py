@@ -208,15 +208,19 @@ def test_lane_gauss_solve():
     )
 
 
+@pytest.mark.parametrize(
+    "solver", [lanes.lane_jacobi_eigh, lanes.lane_jacobi_eigh_scan]
+)
 @pytest.mark.parametrize("N", [3, 5, 7, 8])
-def test_lane_jacobi_eigh(N):
+def test_lane_jacobi_eigh(N, solver):
     # odd N exercises the isolated-pad path (advisor round-2 finding: the
-    # pad diagonal must never rotate into the live block)
+    # pad diagonal must never rotate into the live block); both the
+    # fully-unrolled and the sweep-scan (production) variants are covered
     rng = np.random.default_rng(2)
     B, W = 4, 3
     a = rng.normal(size=(B, N, N, W))
     sym = 0.5 * (a + np.swapaxes(a, -3, -2))
-    wv, v = lanes.lane_jacobi_eigh(jnp.asarray(sym))
+    wv, v = solver(jnp.asarray(sym))
     # A v_a = w_a v_a
     av = lanes.lane_mm(jnp.asarray(sym), v)
     wv_b = np.asarray(wv)[..., None, :, :] * np.asarray(v)
@@ -229,14 +233,20 @@ def test_lane_jacobi_eigh(N):
             np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-9)
 
 
-def test_lane_block_tridiag():
+@pytest.mark.parametrize(
+    "solver",
+    [lanes.lane_block_tridiag_solve, lanes.lane_block_thomas_solve],
+)
+def test_lane_block_tridiag(solver):
+    # covers both the cyclic-reduction variant and the custom-VJP Thomas
+    # scan (the production BVP path)
     rng = np.random.default_rng(3)
     P, K, W = 11, 4, 6
     lo = rng.normal(size=(P, K, K, W)) * 0.3
     up = rng.normal(size=(P, K, K, W)) * 0.3
     di = rng.normal(size=(P, K, K, W)) + 5.0 * np.eye(K)[:, :, None]
     r = rng.normal(size=(P, K, W))
-    x = lanes.lane_block_tridiag_solve(
+    x = solver(
         jnp.asarray(lo), jnp.asarray(di), jnp.asarray(up), jnp.asarray(r)
     )
     x_np = np.asarray(x)
