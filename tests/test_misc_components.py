@@ -284,3 +284,70 @@ def test_extending_doc_constituent_example():
         - run(1e-6 - h)["radiance"].to_numpy()
     )[0, 0, 0] / (2 * h)
     np.testing.assert_allclose(wf.sum(axis=0)[0, 0, 0], fd, rtol=1e-4)
+
+
+def test_database_converter_tools(tmp_path, monkeypatch):
+    """Offline DB builders (reference tools/databases/{o3_dbm,
+    no2_vandaele}.py): synthetic raw files -> standard layout -> loadable
+    through the named optical classes, with the clamp-row and
+    gap-filling semantics verified."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.databases.xs_convert import (
+        build_xs_grid,
+        convert_no2_vandaele,
+        convert_o3_dbm,
+    )
+
+    # grid semantics: clamp rows at 0/1000 K, cross-T gap filling
+    wv1 = np.linspace(300.0, 400.0, 11)
+    wv2 = np.linspace(320.0, 400.0, 9)  # misses 300-310 nm
+    g = build_xs_grid(
+        [(220.0, wv1, np.full(11, 2.0)), (290.0, wv2, np.full(9, 4.0))],
+        air_wavelengths=False,
+    )
+    assert g["temperature"][0] == 0.0 and g["temperature"][-1] == 1000.0
+    # clamp rows copy the coldest/warmest sets (cm^2 -> m^2)
+    np.testing.assert_allclose(g["xs"][0][g["wavelength_nm"] >= 320],
+                               2.0e-4)
+    # where the warm set has no coverage, the cold value fills in
+    j = np.searchsorted(g["wavelength_nm"], 300.0)
+    np.testing.assert_allclose(g["xs"][:, j], 2.0e-4)
+
+    # end-to-end: synthetic DBM + Vandaele raw files -> converters ->
+    # named classes load them from the database root
+    dbm_dir = tmp_path / "raw_dbm"
+    dbm_dir.mkdir()
+    for t in (218, 295):
+        body = "h1\nh2\nh3\nh4\n" + "\n".join(
+            f"{{{w:.2f}}} {{{1e-21 * (1 + t / 1000):.4e}}}"
+            for w in np.linspace(300.0, 330.0, 7)
+        ) + "\nfooter"
+        (dbm_dir / f"O3_CRS_{t}K.txt").write_text(body)
+    no2_dir = tmp_path / "raw_no2"
+    no2_dir.mkdir()
+    for stem, t in (("no2_294K", 294), ("no2c_220K", 220)):
+        body = "idx wn xs\n" + "\n".join(
+            f"{i} {1e7 / w:.4f} {2e-23:.4e}"
+            for i, w in enumerate(np.linspace(400.0, 430.0, 7))
+        )
+        (no2_dir / f"{stem}.txt").write_text(body)
+
+    monkeypatch.setenv("SASKTRAN2_TPU_DB_ROOT", str(tmp_path))
+    convert_o3_dbm(dbm_dir, tmp_path)
+    convert_no2_vandaele(no2_dir, tmp_path)
+
+    from sasktran2_tpu.optical.named import NO2Vandaele, O3DBM
+
+    o3 = O3DBM()
+    xs = o3.cross_sections(
+        np.array([310.0, 320.0]), temperature_k=np.array([250.0])
+    )
+    assert xs.shape == (1, 2)
+    assert np.all(xs > 0)
+    no2 = NO2Vandaele()
+    xs2 = no2.cross_sections(
+        np.array([410.0]), temperature_k=np.array([250.0])
+    )
+    assert np.all(xs2 > 0)
