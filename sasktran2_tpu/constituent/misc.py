@@ -109,16 +109,36 @@ class CollisionInducedAbsorber(Constituent):
 
 
 class AirMassFactor(Constituent):
-    """Registers box air-mass-factor weighting functions
-    ``wf_<name>_airmassfactor`` = d(ln I)/d(tau_layer) analog (reference
-    ``constituent/amf.py:10``: AMFs from extinction perturbations in
-    log-radiance space). Adds no optical properties."""
+    """Registers box air-mass-factor weighting functions as the output
+    variable ``air_mass_factor`` = -d(ln I)/d(tau_layer) (reference
+    ``constituent/amf.py:10-48``). Adds no optical properties.
+
+    The box AMF perturbation is a pure ABSORBER added to one layer: the
+    extinction rises by dtau/dz while the scattering extinction stays
+    fixed, so ssa = k_scat/k picks up a compensating -ssa/k term. The
+    altitude factors convert d/d(extinction at a grid level) into
+    d/d(layer optical depth): -1/dz via ``np.gradient`` spacing with the
+    half-width boundary cells doubled, exactly as the reference does.
+    """
 
     def add_to_atmosphere(self, atmo):
         pass
 
-    def register_derivative(self, atmo, name: str):
-        m = atmo.storage.get_derivative_mapping(f"wf_{name}_amf")
-        m.d_extinction[:] = 1.0
+    def register_derivative(self, atmo, name: str):  # noqa: ARG002
+        altitudes = np.asarray(atmo.altitudes(), dtype=np.float64)
+        alt_factors = -1.0 / np.gradient(altitudes)
+        alt_factors[0] *= 2
+        alt_factors[-1] *= 2
+
+        m = atmo.storage.get_derivative_mapping("air_mass_factor")
+        m.d_extinction[:] += alt_factors[:, None]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m.d_ssa[:] += np.where(
+                atmo.storage.total_extinction > 0,
+                alt_factors[:, None]
+                * (0.0 - atmo.storage.ssa)
+                / atmo.storage.total_extinction,
+                0.0,
+            )
         m.log_radiance_space = True
         m.interp_dim = "altitude"

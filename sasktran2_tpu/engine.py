@@ -73,21 +73,63 @@ class Engine:
         if self._is_2d:
             if config.multiple_scatter_source != MultipleScatterSource.NoSource:
                 msg = (
-                    "Geometry2D currently supports single scatter, "
-                    "occultation and emission only (reference restriction, "
-                    "src/sasktran2/engine.py:80-104)"
+                    "Geometry2D supports single scatter, occultation and "
+                    "emission (standard + volume emission rate) only "
+                    "(reference restriction, src/sasktran2/engine.py:80-104)"
                 )
                 raise NotImplementedError(msg)
+            from .config import EmissionSource, InterpolationMethod
             from .rt.raytrace2d import trace_2d
-            from .viewinggeo import TangentAltitude
+            from .viewinggeo import TangentAltitude, TangentAltitudeSolar
 
+            if config.emission_source not in (
+                EmissionSource.NoSource,
+                EmissionSource.Standard,
+                EmissionSource.VolumeEmissionRate,
+            ):
+                msg = (
+                    "Geometry2D emission supports Standard and "
+                    "VolumeEmissionRate modes only; got "
+                    f"{config.emission_source}"
+                )
+                raise NotImplementedError(msg)
+            if (
+                geometry.interpolation_method
+                != InterpolationMethod.LinearInterpolation
+            ):
+                msg = (
+                    "Geometry2D supports LinearInterpolation only; got "
+                    f"{geometry.interpolation_method}"
+                )
+                raise NotImplementedError(msg)
+
+            rays_2d = []
+            theta0_ref = float(np.arccos(np.clip(geometry.cos_sza, -1, 1)))
             for r in self._rays:
-                if not isinstance(r, TangentAltitude):
-                    msg = "Geometry2D requires TangentAltitude rays"
+                if isinstance(r, TangentAltitudeSolar):
+                    # place the tangent point at the horizontal angle where
+                    # the in-plane local SZA (theta0 - theta, raytrace2d
+                    # convention) matches the ray's cos_sza
+                    th_t = theta0_ref - float(
+                        np.arccos(np.clip(r.cos_sza, -1, 1))
+                    )
+                    rays_2d.append(TangentAltitude(
+                        tangent_altitude_m=r.tangent_altitude_m,
+                        observer_altitude_m=r.observer_altitude_m,
+                        horizontal_angle_radians=th_t,
+                        viewing_azimuth_radians=r.relative_azimuth,
+                    ))
+                elif isinstance(r, TangentAltitude):
+                    rays_2d.append(r)
+                else:
+                    msg = (
+                        "Geometry2D requires TangentAltitude or "
+                        "TangentAltitudeSolar rays"
+                    )
                     raise NotImplementedError(msg)
             self._traced2d = trace_2d(
                 geometry.altitudes(), geometry.horizontal_angles(),
-                geometry.earth_radius_m, geometry.cos_sza, self._rays,
+                geometry.earth_radius_m, geometry.cos_sza, rays_2d,
             )
             nleg2 = max(config.num_streams, config.num_singlescatter_moments)
             from .ops.wigner import legendre_p as _lp
@@ -107,6 +149,7 @@ class Engine:
                 refractive_index=geometry.refractive_index,
                 los_refraction=config.los_refraction,
                 solar_refraction=config.solar_refraction,
+                interp_method=geometry.interpolation_method.value,
             )
 
         self._needs_ss_exact = config.single_scatter_source in (
@@ -429,10 +472,20 @@ class Engine:
             return self._radiance_polarized(core)
 
         if self._is_2d:
+            from .config import EmissionSource
+
             rad = jnp.zeros((nlos,), dtype=ext.dtype)
             if self._needs_ss_exact:
                 rad = rad + f0 * singlescatter.integrate_single_scatter_2d(
                     ext, ssa, leg, self._traced2d, self._phase_tab2d
+                )[0]
+            if cfg.emission_source == EmissionSource.Standard:
+                rad = rad + singlescatter.emission_radiance_2d(
+                    ext, ssa, emis, self._traced2d
+                )[0]
+            if cfg.emission_source == EmissionSource.VolumeEmissionRate:
+                rad = rad + singlescatter.ver_emission_radiance_2d(
+                    ext, emis, self._traced2d
                 )[0]
             if cfg.occultation_source == OccultationSource.Standard:
                 od2 = singlescatter.optical_depth_2d(ext, self._traced2d)
@@ -1362,21 +1415,43 @@ class Engine:
         ns = self._config.num_stokes
         nrad = nlos * ns
 
-        def emit(name, wf):
+        def emit(name, wf, log_space=False):
             # wf: [W, nout(, extra)]; split into radiance + flux variables,
             # materializing the stokes axis
             rad_part = wf[:, :nrad].reshape(
                 (wf.shape[0], nlos, ns) + wf.shape[2:]
             )
+            if log_space:
+                # log-radiance-space mapping (reference
+                # ``outputc.cpp:153-162``): every stokes component's WF is
+                # divided by the I component of the radiance
+                rad = out["radiance"].to_numpy()  # [W, nlos, ns]
+                intensity = rad[:, :, 0:1]
+                intensity = intensity.reshape(
+                    intensity.shape + (1,) * (rad_part.ndim - 3)
+                )
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    rad_part = np.where(
+                        intensity != 0.0, rad_part / intensity, 0.0
+                    )
             arrs = [(name, rad_part, ("wavelength", "los", "stokes"))]
             if with_flux:
                 wf_flux = wf[:, nrad:].reshape(
                     (wf.shape[0], ntypes, nobs) + wf.shape[2:]
                 )
                 for ti, ftype in enumerate(self._config.flux_types):
+                    fv = wf_flux[:, ti]
+                    if log_space:
+                        fname = f"{flux_names[ftype.value]}_flux"
+                        fvals = out[fname].to_numpy()
+                        fvals = fvals.reshape(
+                            fvals.shape + (1,) * (fv.ndim - 2)
+                        )
+                        with np.errstate(invalid="ignore", divide="ignore"):
+                            fv = np.where(fvals != 0.0, fv / fvals, 0.0)
                     arrs.append((
                         f"{name}_{flux_names[ftype.value]}_flux",
-                        wf_flux[:, ti],
+                        fv,
                         ("wavelength", "flux_location"),
                     ))
             return arrs
@@ -1410,7 +1485,7 @@ class Engine:
             if m.interpolator is not None:
                 wf = np.einsum("oa,wua->wuo", m.interpolator, wf)
             assign = m.assign_name if m.assign_name else name
-            for vname, arr, dims in emit(assign, wf):
+            for vname, arr, dims in emit(assign, wf, m.log_radiance_space):
                 # trailing axis is the altitude/output axis of the mapping
                 da = DataArray(np.moveaxis(arr, -1, 0), (m.interp_dim, *dims))
                 if vname in out:

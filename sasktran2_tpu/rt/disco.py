@@ -58,11 +58,33 @@ from ..ops.wigner import normalized_alp
 # Jacobi solver (ops/eigen.py) is batched-matmul based. CPU keeps LAPACK.
 USE_JACOBI_EIGH = True
 
-# Single scatter albedo ceiling: the eigensolver needs omega strictly < 1
-# (conservative scattering gives a zero eigenvalue in the m=0 mode). The
-# reference dithers similarly when assembling layer optical properties.
-SSA_CEILING = 1.0 - 1e-9
+# Single scatter albedo ceiling: the solver needs omega strictly < 1
+# (conservative scattering gives a zero eigenvalue in the m=0 mode, and the
+# homogeneous solutions blow up as 1/k). The reference dithers at 1-1e-9
+# (``rust/sasktran2-core/src/twostream/solver.rs:121``), but the BVP's
+# mixed column scales make both the radiance AND its omega-derivative
+# numerically polluted for (1-omega) < ~1e-5 even in f64 (measured: value
+# noise ~3e-8 relative, d/d(omega) garbage at 1-1e-9; both clean at
+# 1-1e-4). On the f32 TPU path k^2 ~ (1-omega) = 1e-9 is below machine
+# epsilon entirely. We clamp at 1-1e-4: the radiance shift for fully
+# conservative atmospheres is ~1e-6 relative (inside every oracle
+# tolerance) and Jacobians stay accurate through the clamp via the
+# straight-through gradient in ``clamp_ssa``.
+SSA_CEILING = 1.0 - 1e-4
 KMIN = 1e-8
+
+
+def clamp_ssa(omega):
+    """Clamp omega below 1 for solver safety with a STRAIGHT-THROUGH
+    gradient: d(clamp)/d(omega) = 1 everywhere. A plain ``jnp.minimum``
+    zeroes d/d(omega) at conservative scattering (omega == 1), which
+    silently kills ssa-channel weighting functions for Rayleigh
+    atmospheres (e.g. the AMF constituent's -ssa/k compensation term).
+    The one-sided derivative just below the ceiling is the physical
+    one."""
+    return omega + jax.lax.stop_gradient(
+        jnp.minimum(omega, SSA_CEILING) - omega
+    )
 
 
 @dataclass(frozen=True)
@@ -513,7 +535,7 @@ def _solve_one_mode(
 
     Returns radiance [..., U], m=0 level stream fields, and internals.
     """
-    omega = jnp.minimum(omega, SSA_CEILING)
+    omega = clamp_ssa(omega)
     a_hat, b_hat = _assemble_symmetric(omega, beta, lam, parity, mu, w)
     k, x, y = _eigensolve(a_hat, b_hat, mu, w)
 
@@ -818,7 +840,7 @@ def solve_plane_parallel(
         internal["sbar"] = sbar
         internal["t_ground"] = t_ground
         internal["dtau"] = dtau
-        internal["omega"] = jnp.minimum(omega, SSA_CEILING)
+        internal["omega"] = clamp_ssa(omega)
         internal["beta"] = beta
         internal["lam"] = lam
         internal["lam_sun"] = lam_sun

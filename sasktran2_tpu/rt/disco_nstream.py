@@ -35,7 +35,7 @@ from ..ops.lanes import (
     lane_t,
 )
 from ..ops.linalg import ddiff2, ediff
-from .disco import KMIN, SSA_CEILING, ModeTables, build_mode_tables
+from .disco import KMIN, ModeTables, build_mode_tables, clamp_ssa
 
 __all__ = ["build_mode_tables", "solve_nstream"]
 
@@ -68,7 +68,7 @@ def _mode_radiance(
     dt = dtau.dtype
     N = len(mu)
     P = dtau.shape[0]
-    omega = jnp.minimum(omega, SSA_CEILING)
+    omega = clamp_ssa(omega)
     even = (parity > 0).astype(dt)
 
     # --- symmetrized layer matrices (disco._assemble_symmetric) ---------
@@ -476,7 +476,7 @@ def solve_nstream(
             "lam": np.asarray(tables.lam_stream[:M, :luse]),
             "lam_sun": np.asarray(tables.lam_sun[:M, :luse]),
             "parity": np.asarray(tables.parity[:M, :luse]),
-            "omega": jnp.minimum(omega, SSA_CEILING),
+            "omega": clamp_ssa(omega),
             "beta": beta,
             "t_top": t_top,
             "sbar": sbar,

@@ -43,10 +43,10 @@ from ..ops.quadrature import streams
 from ..ops.wigner import wigner_d
 from . import disco
 from .disco import (
-    SSA_CEILING,
     _bvp_blocks,
     _greens_coefficients,
     _particular_boundary,
+    clamp_ssa,
 )
 
 NS = 3
@@ -264,7 +264,7 @@ def solve_plane_parallel_vector(
         f0 = jnp.broadcast_to(jnp.asarray(f0, dtype=dt), albedo.shape)
 
     bgreek = _greek_matrices(a1, a2, a3, b1)
-    omega_c = jnp.minimum(omega, SSA_CEILING)
+    omega_c = clamp_ssa(omega)
 
     if thermal_b0 is not None:
         # exponential-in-OD emission B(t) = b0 e^{-b1 t} (same fit as the

@@ -79,20 +79,36 @@ class TracedRays:
     sin2rot: np.ndarray | None = None
 
 
-def _exact_shell_weights(l0, l1, rt, r_lo, r_hi):
-    """Exact 2-entry OD weights for a segment inside one shell.
+# Active grid interpolation policy for the current trace (reference
+# ``cpp/lib/grids/grid.cpp:103-126``: linear / shell / lower). Tracing is
+# single-threaded host precompute, so a module-level setting scoped by
+# ``trace_spherical`` is safe.
+_INTERP_METHOD = "linear"
 
-    For extinction linear in radius between the bounding levels (r_lo,
-    r_hi), ``int k dl`` over the segment [l0, l1] (signed distances from the
-    tangent point, r(l) = hypot(rt, l)) is analytic:
+
+def _exact_shell_weights(l0, l1, rt, r_lo, r_hi):
+    """2-entry OD weights for a segment inside one shell, honoring the
+    active interpolation policy.
+
+    linear (default): extinction linear in radius between the bounding
+    levels (r_lo, r_hi); ``int k dl`` over the segment [l0, l1] (signed
+    distances from the tangent point, r(l) = hypot(rt, l)) is analytic:
         int r dl = F(l1) - F(l0),  F(l) = (l r(l) + rt^2 asinh(l/rt)) / 2.
+    shell: constant in-shell extinction = mean of the bounding levels
+    (reference grid.cpp:112-119 equal weights).
+    lower: constant in-shell extinction = lower level (grid.cpp:121-125).
+
     Returns (w_lo, w_hi) with seg_od = w_lo k(r_lo) + w_hi k(r_hi). The
-    midpoint rule this replaces under-integrates near the tangent point by
-    several percent.
+    midpoint rule the linear policy replaces under-integrates near the
+    tangent point by several percent.
     """
     dl = l1 - l0
     if dl <= 0:
         return 0.0, 0.0
+    if _INTERP_METHOD == "shell":
+        return 0.5 * dl, 0.5 * dl
+    if _INTERP_METHOD == "lower":
+        return dl, 0.0
 
     def F(l):
         r = np.hypot(rt, l)
@@ -118,7 +134,8 @@ def _shell_path_length(r_shell, rt, s_far, s_near):
 
 
 def _interp_weights_at_radius(r, radii):
-    """Linear interpolation weights of a radius onto the level grid."""
+    """Interpolation weights of a radius onto the level grid, honoring the
+    active policy (linear fractional / shell half-half / lower)."""
     A = len(radii)
     w = np.zeros(A)
     if r <= radii[0]:
@@ -126,10 +143,19 @@ def _interp_weights_at_radius(r, radii):
     elif r >= radii[-1]:
         w[-1] = 1.0
     else:
-        j = np.searchsorted(radii, r) - 1
-        f = (r - radii[j]) / (radii[j + 1] - radii[j])
-        w[j] = 1.0 - f
-        w[j + 1] = f
+        # floor semantics (side="right") so a point exactly on a grid
+        # level uses that level as its "lower" index, matching the
+        # reference's i = floor((x - x0)/dx)
+        j = np.searchsorted(radii, r, side="right") - 1
+        if _INTERP_METHOD == "shell":
+            w[j] = 0.5
+            w[j + 1] = 0.5
+        elif _INTERP_METHOD == "lower":
+            w[j] = 1.0
+        else:
+            f = (r - radii[j]) / (radii[j + 1] - radii[j])
+            w[j] = 1.0 - f
+            w[j + 1] = f
     return w
 
 
@@ -193,6 +219,7 @@ def trace_spherical(
     refractive_index: np.ndarray | None = None,
     los_refraction: bool = False,
     solar_refraction: bool = False,
+    interp_method: str = "linear",
 ) -> TracedRays:
     """Trace a set of viewing-geometry rays through 1D spherical shells.
 
@@ -216,6 +243,13 @@ def trace_spherical(
     A = len(radii)
     R = len(rays)
     S = 2 * (A - 1)  # worst case: limb ray through all shells twice
+
+    global _INTERP_METHOD
+    if interp_method not in ("linear", "shell", "lower"):
+        msg = f"unknown interpolation method: {interp_method}"
+        raise ValueError(msg)
+    if interp_method != "linear":
+        use_native = False  # the native C++ tracer is linear-only
 
     refracting = los_refraction or solar_refraction
     if refracting:
@@ -268,43 +302,54 @@ def trace_spherical(
         cos2rot, sin2rot,
     )
 
-    for ri, ray in enumerate(rays):
-        if isinstance(ray, TangentAltitudeSolar):
-            rt = earth_radius_m + ray.tangent_altitude_m
-            tangent_alt[ri] = ray.tangent_altitude_m
-            cos_sza0 = ray.cos_sza
-            relazi = ray.relative_azimuth
-            if los_refraction:
-                hit = _trace_limb_curved(
-                    ri, rt, radii, earth_radius_m, cos_sza0, relazi,
-                    integ, sun_od_fn, *out_arrays,
-                )
-                if hit is not None:
+    _INTERP_METHOD = interp_method
+    try:
+        for ri, ray in enumerate(rays):
+            if isinstance(ray, TangentAltitudeSolar):
+                rt = earth_radius_m + ray.tangent_altitude_m
+                tangent_alt[ri] = ray.tangent_altitude_m
+                cos_sza0 = ray.cos_sza
+                relazi = ray.relative_azimuth
+                if los_refraction:
+                    hit = _trace_limb_curved(
+                        ri, rt, radii, earth_radius_m, cos_sza0, relazi,
+                        integ, sun_od_fn, *out_arrays,
+                    )
+                    if hit is not None:
+                        ground_hit[ri] = True
+                        g_cos_sza[ri], g_cos_vza[ri], g_relazi[ri] = hit
+                else:
+                    _trace_limb(
+                        ri, rt, radii, earth_radius_m, cos_sza0, relazi,
+                        *out_arrays, sun_od_fn=sun_od_fn,
+                    )
+            elif isinstance(
+                ray, (GroundViewingSolar, SolarAnglesObserverLocation)
+            ):
+                muv = ray.cos_viewing_zenith
+                down = isinstance(ray, GroundViewingSolar) or muv < 0.0
+                if down:
                     ground_hit[ri] = True
-                    g_cos_sza[ri], g_cos_vza[ri], g_relazi[ri] = hit
-            else:
-                _trace_limb(
-                    ri, rt, radii, earth_radius_m, cos_sza0, relazi,
-                    *out_arrays, sun_od_fn=sun_od_fn,
+                    g_cos_sza[ri] = ray.cos_sza
+                    g_cos_vza[ri] = abs(muv)
+                    g_relazi[ri] = ray.relative_azimuth
+                nadir_fn = (
+                    _trace_nadir_curved if los_refraction else _trace_nadir
                 )
-        elif isinstance(ray, (GroundViewingSolar, SolarAnglesObserverLocation)):
-            muv = ray.cos_viewing_zenith
-            down = isinstance(ray, GroundViewingSolar) or muv < 0.0
-            if down:
-                ground_hit[ri] = True
-                g_cos_sza[ri] = ray.cos_sza
-                g_cos_vza[ri] = abs(muv)
-                g_relazi[ri] = ray.relative_azimuth
-            nadir_fn = _trace_nadir_curved if los_refraction else _trace_nadir
-            extra = {"integ": integ} if los_refraction else {}
-            nadir_fn(
-                ri, abs(muv), radii, earth_radius_m, ray.cos_sza,
-                ray.relative_azimuth, down,
-                *out_arrays, sun_od_fn=sun_od_fn, **extra,
-            )
-        else:
-            msg = f"Unsupported ray policy for spherical tracing: {type(ray)}"
-            raise NotImplementedError(msg)
+                extra = {"integ": integ} if los_refraction else {}
+                nadir_fn(
+                    ri, abs(muv), radii, earth_radius_m, ray.cos_sza,
+                    ray.relative_azimuth, down,
+                    *out_arrays, sun_od_fn=sun_od_fn, **extra,
+                )
+            else:
+                msg = (
+                    "Unsupported ray policy for spherical tracing: "
+                    f"{type(ray)}"
+                )
+                raise NotImplementedError(msg)
+    finally:
+        _INTERP_METHOD = "linear"
 
     return TracedRays(
         od_weights=od_weights,

@@ -372,6 +372,75 @@ def integrate_single_scatter_2d(extinction, ssa, leg_coeff, traced2d,
     return jnp.sum(seg_src * jnp.exp(-closer), axis=-1)
 
 
+def emission_radiance_2d(extinction, ssa, emission, traced2d):
+    """Standard (thermal) emission along 2D in-plane rays.
+
+    Mirrors :func:`emission_radiance` with the 2D gather tables: per
+    segment J = k_abs * B interpolated at the boundaries, endpoint-blended
+    constant-source model, attenuated by the OD of closer segments.
+    Reference capability: ``EmissionSource.Standard`` with Geometry2D
+    (``/root/reference/src/sasktran2/engine.py:89-93``,
+    ``tests/engine/test_geometry2d_emission.py``).
+
+    extinction/ssa/emission: [W, nloc]; returns [W, R].
+    """
+    dt = extinction.dtype
+    od_idx = jnp.asarray(traced2d.od_idx)
+    od_w = jnp.asarray(traced2d.od_w, dtype=dt)
+    iidx = jnp.asarray(traced2d.interp_idx)
+    iw = jnp.asarray(traced2d.interp_w, dtype=dt)
+    lengths = jnp.asarray(traced2d.lengths, dtype=dt)
+    mask = jnp.asarray(traced2d.mask, dtype=dt)
+
+    seg_od = jnp.einsum("wrsk,rsk->wrs", extinction[:, od_idx], od_w)
+    k_b = jnp.einsum("wrbk,rbk->wrb", extinction[:, iidx], iw)
+    kscat_b = jnp.einsum(
+        "wrbk,rbk->wrb", (extinction * ssa)[:, iidx], iw
+    )
+    kabs_b = k_b - kscat_b
+    b_b = jnp.einsum("wrbk,rbk->wrb", emission[:, iidx], iw)
+    j_b = kabs_b * b_b
+
+    j_in = j_b[..., :-1]
+    j_out = j_b[..., 1:]
+    od = jnp.maximum(seg_od, 0.0) * mask
+    source_factor = jnp.where(
+        od < 1e-12, 1.0 - 0.5 * od, -jnp.expm1(-od) / jnp.maximum(od, 1e-12)
+    )
+    seg_src = source_factor * 0.5 * (j_in + j_out) * lengths * mask
+    closer = (
+        jnp.flip(jnp.cumsum(jnp.flip(od, axis=-1), axis=-1), axis=-1) - od
+    )
+    return jnp.sum(seg_src * jnp.exp(-closer), axis=-1)
+
+
+def ver_emission_radiance_2d(extinction, emission, traced2d):
+    """Volume-emission-rate emission along 2D in-plane rays: segment
+    contribution = length * mean(boundary emission rate), attenuated by
+    closer-segment OD (mirrors :func:`ver_emission_radiance`).
+
+    extinction/emission: [W, nloc]; returns [W, R].
+    """
+    dt = extinction.dtype
+    od_idx = jnp.asarray(traced2d.od_idx)
+    od_w = jnp.asarray(traced2d.od_w, dtype=dt)
+    iidx = jnp.asarray(traced2d.interp_idx)
+    iw = jnp.asarray(traced2d.interp_w, dtype=dt)
+    lengths = jnp.asarray(traced2d.lengths, dtype=dt)
+    mask = jnp.asarray(traced2d.mask, dtype=dt)
+
+    seg_od = jnp.einsum("wrsk,rsk->wrs", extinction[:, od_idx], od_w)
+    e_b = jnp.einsum("wrbk,rbk->wrb", emission[:, iidx], iw)
+    seg_src = 0.5 * (e_b[..., :-1] + e_b[..., 1:]) * lengths * mask
+
+    od_m = jnp.maximum(seg_od, 0.0) * mask
+    closer = (
+        jnp.flip(jnp.cumsum(jnp.flip(od_m, axis=-1), axis=-1), axis=-1)
+        - od_m
+    )
+    return jnp.sum(seg_src * jnp.exp(-closer), axis=-1)
+
+
 def optical_depth_2d(extinction, traced2d):
     dt = extinction.dtype
     od_idx = jnp.asarray(traced2d.od_idx)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.linalg import ddiff2, ediff
-from .disco import SSA_CEILING, ModeTables, build_mode_tables
+from .disco import ModeTables, build_mode_tables, clamp_ssa
 
 KMIN = 1e-8
 
@@ -41,7 +41,7 @@ def _mode_radiance(
     beta [L, P, W], albedo/f0 [W], lam/lam_sun/parity [L], lam_user [L, U].
     Returns radiance [U, W]."""
     dt = dtau.dtype
-    omega = jnp.minimum(omega, SSA_CEILING)
+    omega = clamp_ssa(omega)
     lam = jnp.asarray(lam, dtype=dt)
     lam_sun = jnp.asarray(lam_sun, dtype=dt)
     lam_user = jnp.asarray(lam_user, dtype=dt)

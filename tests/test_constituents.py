@@ -103,9 +103,22 @@ def test_gaussian_height_extinction_wfs():
 
     config, geometry, viewing = _setup()
     engine = sk.Engine(config, geometry, viewing)
+
+    # weak background absorber (~0.1% of Rayleigh) keeps ssa below the
+    # solver's conservative-scattering ceiling everywhere: an FD that
+    # straddles the ssa clamp disagrees with the straight-through
+    # analytic gradient by construction (see rt/disco.clamp_ssa)
+    probe = sk.Atmosphere(geometry, config, wavelengths_nm=np.array([550.0]))
+    add_us76_standard_atmosphere(probe)
+    probe["rayleigh"] = Rayleigh()
+    probe.internal_object()
+    background = 1e-3 * probe.storage.total_extinction[:, 0].copy()
+    from sasktran2_tpu.constituent.misc import ManualOpticalProperties
+
     atmo = sk.Atmosphere(geometry, config, wavelengths_nm=np.array([550.0]))
     add_us76_standard_atmosphere(atmo)
     atmo["rayleigh"] = Rayleigh()
+    atmo["background"] = ManualOpticalProperties(extinction=background)
     gauss = GaussianHeightExtinction(
         HGScatteringOptical(xs_total=1e-13, ssa=0.9, g=0.7, nleg=8),
         height_m=22000.0, width_fwhm_m=8000.0,
@@ -139,6 +152,7 @@ def test_gaussian_height_extinction_wfs():
                           wavelengths_nm=np.array([550.0]))
     add_us76_standard_atmosphere(atmo2)
     atmo2["rayleigh"] = Rayleigh()
+    atmo2["background"] = ManualOpticalProperties(extinction=background)
     atmo2["aero"] = NumberDensityScatterer(
         HGScatteringOptical(xs_total=1e-13, ssa=0.9, g=0.7, nleg=8),
         gauss._altitudes, gauss.number_density.copy(),
