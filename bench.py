@@ -132,6 +132,63 @@ def _build_nstream_minor(nstr, W, P=100, L=40, dtype=None):
     return jax.jit(full), inputs
 
 
+def _build_polarized_minor(nstr, W, P=100, L=None, dtype=None):
+    """Wavelength-minor POLARIZED (I, Q, U) path (rt/disco_vec_minor.py):
+    the sign-transform reduction on flattened (stream x stokes) blocks,
+    wavelength in the lane axis. Rayleigh-like greeks with a2/a3/b1
+    populated; per-wavelength Jacobians from one broadcast vjp."""
+    import jax
+    import jax.numpy as jnp
+
+    from sasktran2_tpu.rt.disco_vec_minor import (
+        build_vector_minor_tables,
+        solve_nstream_vector,
+    )
+
+    dtype = dtype or jnp.float32
+    L = L or max(nstr, 4)
+    rng = np.random.default_rng(1)
+    alts = np.linspace(0, 100000, P + 1)
+    ext_prof = 7e-5 * np.exp(-alts / 7000.0)
+    dtau_prof = (0.5 * (ext_prof[:-1] + ext_prof[1:])
+                 * np.diff(alts))[::-1]
+    dtau = (
+        np.broadcast_to(dtau_prof, (W, P)) * rng.uniform(0.8, 1.2, (W, 1))
+    ).T  # [P, W]
+    ls = np.arange(L)
+    a1 = np.broadcast_to(
+        ((2 * ls + 1) * 0.5**ls)[:, None, None], (L, P, W)
+    )
+    a2 = 0.7 * a1 * (ls >= 2)[:, None, None]
+    a3 = 0.5 * a1 * (ls >= 2)[:, None, None]
+    b1 = 0.3 * a1 * (ls >= 2)[:, None, None]
+    tables = build_vector_minor_tables(nstr, L, 0.6, np.array([0.8]),
+                                       num_azimuth=2)
+    inputs = {
+        "dtau": jnp.asarray(dtau, dtype=dtype),
+        "omega": jnp.full((P, W), 0.9, dtype=dtype),
+        "a1": jnp.asarray(a1, dtype=dtype),
+        "a2": jnp.asarray(a2, dtype=dtype),
+        "a3": jnp.asarray(a3, dtype=dtype),
+        "b1": jnp.asarray(b1, dtype=dtype),
+        "albedo": jnp.full((W,), 0.3, dtype=dtype),
+    }
+
+    def rad_fn(x):
+        return solve_nstream_vector(
+            x["dtau"], x["omega"], x["a1"], x["a2"], x["a3"], x["b1"],
+            x["albedo"], tables, np.array([True]), np.array([0.0]),
+            num_azimuth=2,
+        )
+
+    def full(x):
+        with jax.default_matmul_precision("highest"):
+            rad, vjp = jax.vjp(rad_fn, x)
+            return rad, vjp(jnp.ones_like(rad))[0]
+
+    return jax.jit(full), inputs
+
+
 def _build_engine_2str(W, nalt=101):
     """End-to-end ENGINE path: public API (Config/Geometry/Atmosphere ->
     Engine.calculate_radiance) with US76 + Rayleigh + surface, WFs on.
@@ -271,16 +328,41 @@ def _time_solves(fn, inputs, repeats=5):
     return times[len(times) // 2]
 
 
-def _case_twostream(W):
-    fn, inputs = _build_twostream(W)
+def _flops_of(fn, inputs):
+    """XLA cost-analysis FLOP count of the jitted case (SURVEY §5
+    profiling requirement: each case reports achieved GFLOP/s and
+    %-of-peak so optimization effort goes where it pays)."""
+    try:
+        cost = fn.lower(inputs).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
+def _case_lane(builder, W):
+    """Run a solver-level lane case: median-time solves/s plus FLOP and
+    wall-time telemetry lines for the parent process."""
+    fn, inputs = builder(W)
     dt = _time_solves(fn, inputs)
+    flops = _flops_of(fn, inputs)
+    if flops:
+        print(f"CASE_FLOPS {flops}", flush=True)
+    print(f"CASE_TIME {dt}", flush=True)
     return W / dt
+
+
+def _case_twostream(W):
+    return _case_lane(_build_twostream, W)
 
 
 def _case_nstream_minor(nstr, W):
-    fn, inputs = _build_nstream_minor(nstr, W)
-    dt = _time_solves(fn, inputs)
-    return W / dt
+    return _case_lane(lambda w: _build_nstream_minor(nstr, w), W)
+
+
+def _case_polarized_minor(nstr, W):
+    return _case_lane(lambda w: _build_polarized_minor(nstr, w), W)
 
 
 CASES = {
@@ -290,10 +372,16 @@ CASES = {
     "2str_fast_16k": (lambda: _case_twostream(16384), 360),
     "2str_engine_1k": (lambda: _case_engine_2str(1024), 360),
     "16str_1k": (lambda: _case_nstream_minor(16, 1024), 480),
+    "16str_512": (lambda: _case_nstream_minor(16, 512), 480),
+    "16str_256": (lambda: _case_nstream_minor(16, 256), 420),
+    "pol3_4str_1k": (lambda: _case_polarized_minor(4, 1024), 480),
+    "pol3_4str_256": (lambda: _case_polarized_minor(4, 256), 420),
     "16str_limb_256": (lambda: _case_engine_limb16(256), 900),
+    "16str_limb_128": (lambda: _case_engine_limb16(128), 700),
 }
 
 _case_cache = {}
+_case_mfu = {}
 
 
 def _run_case_subprocess(name):
@@ -318,13 +406,31 @@ def _run_case_subprocess(name):
         _case_cache[name] = None
         return None
     result = None
+    flops = None
+    dt = None
     for line in res.stdout.splitlines():
         if line.startswith("CASE_RESULT "):
             result = float(line.split()[1])
+        elif line.startswith("CASE_FLOPS "):
+            flops = float(line.split()[1])
+        elif line.startswith("CASE_TIME "):
+            dt = float(line.split()[1])
     if result is None:
         tail = (res.stdout + res.stderr)[-2000:]
         print(f"# case {name}: failed rc={res.returncode}\n{tail}",
               flush=True)
+        _case_cache[name] = None
+        return None
+    if flops is not None and dt:
+        # v5e peak: 197 TFLOP/s bf16 (394 int8 TOPS). The solvers run
+        # f32 HIGHEST-precision, so this is a conservative utilization
+        # reference; it makes rounds comparable.
+        _case_mfu[name] = {
+            "gflops_per_s": round(flops / dt / 1e9, 1),
+            "pct_of_v5e_bf16_peak": round(
+                100.0 * flops / dt / 197e12, 2
+            ),
+        }
     _case_cache[name] = result
     return result
 
@@ -341,9 +447,27 @@ def main():
         solves2 = _run_case_subprocess("2str_fast_16k")
 
     solves_engine = _run_case_subprocess("2str_engine_1k")
+    # 16-stream north star with a fallback chain: a compile-variance
+    # blowout on the big case must degrade to a smaller measured batch,
+    # never to a null (rounds 2 and 3 both shipped nulls here)
     W16 = 1024
     solves16 = _run_case_subprocess("16str_1k")
+    if solves16 is None:
+        W16 = 512
+        solves16 = _run_case_subprocess("16str_512")
+    if solves16 is None:
+        W16 = 256
+        solves16 = _run_case_subprocess("16str_256")
+
+    Wp = 1024
+    solves_pol = _run_case_subprocess("pol3_4str_1k")
+    if solves_pol is None:
+        Wp = 256
+        solves_pol = _run_case_subprocess("pol3_4str_256")
+
     solves_limb = _run_case_subprocess("16str_limb_256")
+    if solves_limb is None:
+        solves_limb = _run_case_subprocess("16str_limb_128")
 
     baseline_2str = 17.0  # ref CPU thread, 100 lyr, 2 str, with Jacobians
     # 16-stream CPU anchor: timing.ipynb nstr sweep reaches ~158 ms by ~10
@@ -367,6 +491,9 @@ def main():
                         round(solves16 / baseline_16str, 1)
                         if solves16 else None
                     ),
+                    "solves_per_sec_polarized_4str_jac": (
+                        round(solves_pol, 1) if solves_pol else None
+                    ),
                     "solves_per_sec_engine_path_2str": (
                         round(solves_engine, 1) if solves_engine else None
                     ),
@@ -375,6 +502,8 @@ def main():
                     ),
                     "batch_2str": W,
                     "batch_16str": W16,
+                    "batch_pol3": Wp,
+                    "flops": _case_mfu,
                 },
             }
         )

@@ -253,6 +253,128 @@ class Engine:
         self._compute_jit = None
         self._needs_leg_jac = False
         self._surface_brdf = None
+        self._stokes_cs = (
+            self._stokes_basis_rotations()
+            if config.num_stokes == 3 else None
+        )
+
+    def _stokes_basis_rotations(self):
+        """Per-LOS (C, S) = (cos 2a, +-sin 2a) rotating output Stokes
+        (Q, U) from the standard basis (meridian plane through the
+        propagation direction and local up; the solver's native frame,
+        pinned by the Coulson validation) into ``config.stokes_basis``
+        (reference ``cpp/lib/output/output.cpp:28-56``,
+        ``geometry.cpp:232-307``).
+
+        solar: reference plane spanned by the look vector and the sun
+        (S = -sin 2a); observer: plane spanned by the look vector and the
+        observer position (S = +sin 2a). The rotation angle is the
+        dihedral angle between the perpendicular projections onto the
+        look vector (for 'observer' the reference dots perp_z with the
+        raw position instead of its perpendicular projection,
+        geometry.cpp:290 — we use the projected vector, which is the
+        well-defined dihedral angle).
+        """
+        from .config import StokesBasis
+        from .viewinggeo import (
+            GroundViewingSolar,
+            SolarAnglesObserverLocation,
+            TangentAltitudeSolar,
+        )
+
+        basis = self._config.stokes_basis
+        nlos = len(self._rays)
+        cs = np.ones((nlos, 2))
+        cs[:, 1] = 0.0
+        if basis == StokesBasis.Standard:
+            return cs
+
+        re = self._geometry.earth_radius_m
+        for i, ray in enumerate(self._rays):
+            z = np.array([0.0, 0.0, 1.0])
+            if isinstance(ray, TangentAltitudeSolar):
+                theta0 = np.arccos(np.clip(ray.cos_sza, -1, 1))
+                phi = ray.relative_azimuth
+                look = np.array([1.0, 0.0, 0.0])
+                # sun azimuth measured from the look azimuth
+                s = np.array([
+                    np.sin(theta0) * np.cos(phi),
+                    np.sin(theta0) * np.sin(phi),
+                    np.cos(theta0),
+                ])
+                rt = re + ray.tangent_altitude_m
+                d = np.sqrt(
+                    max((re + ray.observer_altitude_m) ** 2 - rt**2, 0.0)
+                )
+                pos = np.array([d, 0.0, rt])
+            elif isinstance(
+                ray, (GroundViewingSolar, SolarAnglesObserverLocation)
+            ):
+                muv = ray.cos_viewing_zenith
+                theta0 = np.arccos(np.clip(ray.cos_sza, -1, 1))
+                phi = ray.relative_azimuth
+                sv = np.sqrt(max(1.0 - muv * muv, 0.0))
+                look = np.array([sv, 0.0, abs(muv)])
+                s = np.array([
+                    np.sin(theta0) * np.cos(phi),
+                    np.sin(theta0) * np.sin(phi),
+                    np.cos(theta0),
+                ])
+                ground = np.array([0.0, 0.0, re])
+                # observer up the (propagation) look direction from the
+                # ground point at the requested altitude
+                b = 2.0 * ground @ look
+                c = re**2 - (re + ray.observer_altitude_m) ** 2
+                d = 0.5 * (-b + np.sqrt(max(b * b - 4 * c, 0.0)))
+                pos = ground + d * look
+            else:
+                continue
+
+            if basis == StokesBasis.Solar:
+                target = s
+                sign = -1.0
+            else:  # Observer
+                target = pos / np.linalg.norm(pos)
+                sign = 1.0
+            perp_z = z - (z @ look) * look
+            perp_t = target - (target @ look) * look
+            nz = np.linalg.norm(perp_z)
+            nt = np.linalg.norm(perp_t)
+            if nz < 1e-10 or nt < 1e-10:
+                continue  # degenerate: identity
+            cos_a = float(np.clip(perp_z @ perp_t / (nz * nt), -1.0, 1.0))
+            sin_a = np.sqrt(max(1.0 - cos_a * cos_a, 0.0))
+            cs[i, 0] = 2.0 * cos_a * cos_a - 1.0
+            cs[i, 1] = sign * 2.0 * sin_a * cos_a
+        return cs
+
+    def _rotate_stokes(self, arr, stokes_axis):
+        """Rotate (Q, U) of an output array into the configured basis.
+        ``arr``: numpy, with LOS axis immediately before the stokes axis.
+        Q' = C Q - S U ; U' = S Q + C U (reference outputc.cpp:118-151).
+        """
+        if self._stokes_cs is None or self._config.num_stokes != 3:
+            return arr
+        cs = self._stokes_cs
+        if not np.any(cs[:, 1]) and np.all(cs[:, 0] == 1.0):
+            return arr
+        arr = np.array(arr, copy=True)
+        sl = [slice(None)] * arr.ndim
+        slq = list(sl)
+        slq[stokes_axis] = 1
+        slu = list(sl)
+        slu[stokes_axis] = 2
+        q = arr[tuple(slq)].copy()
+        u = arr[tuple(slu)].copy()
+        # LOS axis is stokes_axis - 1; broadcast cs onto q/u shapes
+        los_axis = (stokes_axis % arr.ndim) - 1
+        bshape = [1] * q.ndim
+        bshape[los_axis] = cs.shape[0]
+        cvec = cs[:, 0].reshape(bshape)
+        svec = cs[:, 1].reshape(bshape)
+        arr[tuple(slq)] = cvec * q - svec * u
+        arr[tuple(slu)] = svec * q + cvec * u
+        return arr
 
     # ------------------------------------------------------------------
     def _build_do_tables(self):
@@ -290,6 +412,7 @@ class Engine:
             else self._do_nstr
         )
         self._do_groups = []
+        self._do_groups_vec_minor = []
         for mu0, entries in groups.items():
             idx = np.array([e[0] for e in entries])
             user_mu = np.array([e[1] for e in entries])
@@ -297,10 +420,19 @@ class Engine:
             user_azi = np.array([e[3] for e in entries])
             if self._config.num_stokes == 3:
                 from .rt import disco_vec
+                from .rt.disco_vec_minor import build_vector_minor_tables
 
                 tables = disco_vec.build_vector_mode_tables(
                     self._do_nstr, nleg_ms, mu0, user_mu, num_azimuth=num_azi
                 )
+                self._do_groups_vec_minor.append((
+                    idx,
+                    build_vector_minor_tables(
+                        self._do_nstr, nleg_ms, mu0, user_mu,
+                        num_azimuth=num_azi,
+                    ),
+                    user_up, user_azi,
+                ))
             else:
                 tables = disco.build_mode_tables(
                     self._do_nstr, nleg_ms, mu0, user_mu, num_azimuth=num_azi
@@ -469,7 +601,7 @@ class Engine:
         nlos = len(self._rays)
 
         if cfg.num_stokes == 3:
-            return self._radiance_polarized(core)
+            return self._radiance_polarized(core, skip_do_groups)
 
         if self._is_2d:
             from .config import EmissionSource
@@ -632,10 +764,14 @@ class Engine:
 
         return rad
 
-    def _radiance_polarized(self, core):
+    def _radiance_polarized(self, core, skip_do_groups=False):
         """(I, Q, U) radiance [nlos, 3] for one wavelength. Multiple and
         single scatter both come from the polarized DO solve (the reference's
-        Coulson validation configuration)."""
+        Coulson validation configuration).
+
+        ``skip_do_groups``: omit the plane-parallel DO-group radiance (it
+        is computed batch-wise by the wavelength-minor polarized fast
+        path, ``_polarized_do_groups_batched``)."""
         from .config import EmissionSource
         from .rt import disco_vec
 
@@ -705,7 +841,7 @@ class Engine:
                 f0 * ground_obs * i_ground[0] * jnp.exp(-od_obs)
             )
 
-        if self._needs_do:
+        if self._needs_do and not skip_do_groups:
             legs = (
                 core["leg_coeff"][None], core["leg_a2"][None],
                 core["leg_a3"][None], core["leg_b1"][None],
@@ -986,6 +1122,68 @@ class Engine:
             and getattr(self, "_surface_brdf", None) is None
         )
 
+    def _polarized_fast_ok(self):
+        """The wavelength-minor polarized fast path applies when every
+        multiple-scatter contribution is a plane-parallel DO-group solve
+        (ground/nadir rays) with a Lambertian surface and no thermal DO
+        source — the polarized benchmark configuration. Limb scans, SO,
+        BRDF and flux observers keep the generic per-wavelength route."""
+        from .config import EmissionSource
+
+        return (
+            not self._is_2d
+            and self._config.num_stokes == 3
+            and self._needs_do
+            and bool(self._do_groups_vec_minor)
+            and not self._limb_groups
+            and not self._needs_so
+            and len(self._flux_observers) == 0
+            and getattr(self, "_surface_brdf", None) is None
+            and self._config.emission_source not in (
+                EmissionSource.DiscreteOrdinates, EmissionSource.TwoStream,
+            )
+        )
+
+    def _polarized_do_groups_batched(self, core):
+        """All polarized DO-group radiances for the whole wavelength batch
+        via the wavelength-minor vector solver
+        (``rt/disco_vec_minor.solve_nstream_vector``). core arrays are
+        wavelength-leading; returns [W, nlos, 3] with zeros at rays not
+        covered by a DO group."""
+        from .rt.disco_vec_minor import solve_nstream_vector
+
+        ext = core["extinction"]  # [W, A]
+        ssa = core["ssa"]
+        alb = core["albedo"]
+        f0 = core["solar_irradiance"]
+        legs = (
+            core["leg_coeff"], core["leg_a2"],
+            core["leg_a3"], core["leg_b1"],
+        )
+        dtau, omega, (a1, a2, a3, b1) = self._layer_optical(ext, ssa, legs)
+        dtau_t = jnp.moveaxis(dtau, 0, -1)        # [P, W]
+        omega_t = jnp.moveaxis(omega, 0, -1)
+        a1_t = jnp.transpose(a1, (2, 1, 0))       # [L, P, W]
+        a2_t = jnp.transpose(a2, (2, 1, 0))
+        a3_t = jnp.transpose(a3, (2, 1, 0))
+        b1_t = jnp.transpose(b1, (2, 1, 0))
+
+        chapman = self._chapman_factors(ext.dtype)
+        W = ext.shape[0]
+        rad = jnp.zeros((W, len(self._rays), 3), dtype=ext.dtype)
+        for idx, tables, user_up, user_azi in self._do_groups_vec_minor:
+            r = solve_nstream_vector(
+                dtau_t, omega_t, a1_t, a2_t, a3_t, b1_t, alb, tables,
+                user_up, user_azi,
+                include_ss=self._do_include_ss,
+                chapman=chapman.get(tables.mu0),
+                f0=f0,
+            )  # [U, 3, W]
+            rad = rad.at[:, jnp.asarray(idx)].add(
+                jnp.transpose(r, (2, 0, 1))
+            )
+        return rad
+
     def _twostream_do_groups_batched(self, core):
         """All DO-group radiances for the whole wavelength batch via the
         wavelength-minor solvers (``rt/twostream.py`` at nstr=2,
@@ -1175,7 +1373,8 @@ class Engine:
     def _build_jit(self, needs_leg_jac, needs_jac, with_flux):
         # TPU matmuls default to bf16 for f32 inputs; radiative transfer
         # needs full f32 accumulation throughout the solver.
-        fast_ts = self._twostream_fast_ok()
+        fast_vec = self._polarized_fast_ok()
+        fast_ts = self._twostream_fast_ok() or fast_vec
 
         def outputs(core):
             rad = self._radiance_single_wavelength(core)
@@ -1208,7 +1407,13 @@ class Engine:
                         c, skip_do_groups=True
                     )
                 )(core)
-                rad = rest + self._twostream_do_groups_batched(core)
+                if fast_vec:
+                    do_part = self._polarized_do_groups_batched(
+                        core
+                    ).reshape(rest.shape)
+                else:
+                    do_part = self._twostream_do_groups_batched(core)
+                rad = rest + do_part
                 if with_flux:
                     flux = self._flux_groups_batched(core)
                     return jnp.concatenate(
@@ -1338,6 +1543,7 @@ class Engine:
         nstokes = self._config.num_stokes
         nrad = nlos * nstokes
         rad = full[:, :nrad].reshape(-1, nlos, nstokes)
+        rad = self._rotate_stokes(rad, 2)
 
         out = Dataset()
         out["radiance"] = DataArray(
@@ -1421,6 +1627,8 @@ class Engine:
             rad_part = wf[:, :nrad].reshape(
                 (wf.shape[0], nlos, ns) + wf.shape[2:]
             )
+            if ns == 3:
+                rad_part = self._rotate_stokes(rad_part, 2)
             if log_space:
                 # log-radiance-space mapping (reference
                 # ``outputc.cpp:153-162``): every stokes component's WF is

@@ -144,3 +144,51 @@ def test_vector_minor_gradients_match():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-11
         )
+
+
+@pytest.mark.parametrize("nstr", [4])
+def test_engine_polarized_fast_path_matches_generic(nstr):
+    """The engine's wavelength-minor POLARIZED fast path (nstokes=3
+    ground/nadir DO groups) reproduces the generic per-wavelength
+    polarized route, including WFs."""
+    import sasktran2_tpu as sk
+    from sasktran2_tpu.climatology import add_us76_standard_atmosphere
+
+    config = sk.Config(
+        num_streams=nstr,
+        num_stokes=3,
+        multiple_scatter_source=sk.MultipleScatterSource.DiscreteOrdinates,
+        single_scatter_source=sk.SingleScatterSource.DiscreteOrdinates,
+        num_singlescatter_moments=4,
+    )
+    geometry = sk.Geometry1D(
+        cos_sza=0.6, solar_azimuth=0.0, earth_radius_m=6372000.0,
+        altitude_grid_m=np.linspace(0, 60000, 11),
+        geometry_type=sk.GeometryType.PlaneParallel,
+    )
+    viewing = sk.ViewingGeometry()
+    viewing.add_ray(sk.GroundViewingSolar(0.6, 0.3, 0.8, 2e5))
+    viewing.add_ray(sk.GroundViewingSolar(0.6, 1.1, 0.5, 2e5))
+
+    def run(force_generic):
+        engine = sk.Engine(config, geometry, viewing)
+        if force_generic:
+            engine._polarized_fast_ok = lambda: False
+        else:
+            assert engine._polarized_fast_ok()
+        atmo = sk.Atmosphere(
+            geometry, config, wavelengths_nm=np.array([350.0, 550.0]),
+        )
+        add_us76_standard_atmosphere(atmo)
+        atmo["rayleigh"] = sk.constituent.Rayleigh()
+        atmo["surface"] = sk.constituent.LambertianSurface(0.3)
+        return engine.calculate_radiance(atmo)
+
+    out_fast = run(False)
+    out_gen = run(True)
+    for key in out_gen.keys():
+        a = out_fast[key].to_numpy()
+        b = out_gen[key].to_numpy()
+        np.testing.assert_allclose(
+            a, b, rtol=1e-6, atol=1e-4 * np.abs(b).max(), err_msg=key,
+        )
