@@ -132,6 +132,11 @@ class Config:
     num_successive_orders_points: int = 100
     num_successive_orders_incoming: int = 110
     num_successive_orders_outgoing: int = 110
+    # diffuse-profile solar-zenith-angle grid for limb/twilight fidelity
+    # (reference DiffuseTable SZA x altitude grid,
+    # cpp/lib/hr/diffuse_table.cpp:224 + the altitude/SZA interpolator);
+    # 1 = single profile at the reference-point SZA
+    num_successive_orders_sza: int = 1
 
     # --- solar table ------------------------------------------------------
     num_solar_altitudes: int = -1  # -1 => use geometry grid

@@ -18,11 +18,41 @@ from .base import Constituent
 
 
 class Rayleigh(Constituent):
-    def __init__(self, method: str = "bates", **percentages):
-        if method != "bates":
+    """Rayleigh scattering with Bates (1984) cross sections, or manual
+    user-supplied cross sections + King factors (reference
+    ``constituent/rayleigh.py`` methods "bates" / "manual")."""
+
+    def __init__(self, method: str = "bates", wavelengths_nm=None,
+                 xs=None, king_factor=None, **percentages):
+        if method not in ("bates", "manual"):
             msg = f"Unsupported Rayleigh method: {method}"
             raise NotImplementedError(msg)
+        if method == "manual":
+            if wavelengths_nm is None or xs is None:
+                msg = (
+                    "Rayleigh('manual') requires wavelengths_nm and xs "
+                    "(m^2); king_factor defaults to 1"
+                )
+                raise ValueError(msg)
+            self._manual_wl = np.asarray(wavelengths_nm, dtype=np.float64)
+            self._manual_xs = np.asarray(xs, dtype=np.float64)
+            self._manual_king = (
+                np.ones_like(self._manual_wl)
+                if king_factor is None
+                else np.asarray(king_factor, dtype=np.float64)
+            )
+        self._method = method
         self._percentages = percentages
+
+    def _xs_king(self, atmo):
+        if self._method == "manual":
+            wl = atmo.wavelengths_nm
+            xs = np.interp(wl, self._manual_wl, self._manual_xs)
+            king = np.interp(wl, self._manual_wl, self._manual_king)
+            return xs, king
+        return rayleigh_cross_section_bates(
+            atmo.wavelengths_nm / 1000.0, **self._percentages
+        )
 
     def _number_density(self, atmo):
         if atmo.pressure_pa is None or atmo.temperature_k is None:
@@ -40,9 +70,7 @@ class Rayleigh(Constituent):
         if atmo.wavelengths_nm is None:
             msg = "Rayleigh requires wavelengths_nm on the atmosphere"
             raise ValueError(msg)
-        xs, king = rayleigh_cross_section_bates(
-            atmo.wavelengths_nm / 1000.0, **self._percentages
-        )
+        xs, king = self._xs_king(atmo)
         nd = self._number_density(atmo)["N"]  # [A]
         k = nd[:, None] * xs[None, :]  # [A, W]
         delta = 6.0 * (king - 1.0) / (3.0 + 7.0 * king)
@@ -62,9 +90,7 @@ class Rayleigh(Constituent):
 
     def register_derivative(self, atmo, name: str):
         nd = self._number_density(atmo)
-        xs, king = rayleigh_cross_section_bates(
-            atmo.wavelengths_nm / 1000.0, **self._percentages
-        )
+        xs, king = self._xs_king(atmo)
         delta = 6.0 * (king - 1.0) / (3.0 + 7.0 * king)
         beta2 = (1.0 - delta) / (2.0 + delta)
         k_total = atmo.storage.total_extinction

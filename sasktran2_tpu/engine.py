@@ -127,9 +127,17 @@ class Engine:
                         "TangentAltitudeSolar rays"
                     )
                     raise NotImplementedError(msg)
+            if config.solar_refraction:
+                msg = (
+                    "Geometry2D supports LOS refraction only; "
+                    "solar_refraction is a 1D-path feature"
+                )
+                raise NotImplementedError(msg)
             self._traced2d = trace_2d(
                 geometry.altitudes(), geometry.horizontal_angles(),
                 geometry.earth_radius_m, geometry.cos_sza, rays_2d,
+                refractive_index=geometry.refractive_index,
+                los_refraction=config.los_refraction,
             )
             nleg2 = max(config.num_streams, config.num_singlescatter_moments)
             from .ops.wigner import legendre_p as _lp
@@ -212,16 +220,55 @@ class Engine:
 
             n_inc = max(4, int(round(config.num_successive_orders_incoming
                                      ** 0.5)))
-            self._so_geom = successive.build_so_geometry(
-                geometry.altitudes(), geometry.earth_radius_m,
-                geometry.cos_sza, nleg,
-                n_mu=n_inc, n_phi=n_inc,
-                refractive_index=geometry.refractive_index,
-                ms_refraction=config.multiple_scatter_refraction,
+            # Diffuse profiles on a SZA grid (reference DiffuseTable
+            # SZA x altitude diffuse-point grid,
+            # ``cpp/lib/hr/diffuse_table.cpp:224``): the SO field is
+            # solved once per grid SZA and the LOS source interpolates
+            # between profiles at each traced-ray boundary's local SZA —
+            # the same machinery as the limb DO SZA grid.
+            n_so_sza = (
+                max(1, config.num_successive_orders_sza)
+                if config.num_stokes == 1 else 1
             )
-            self._so_obs_tables = successive.observer_source_tables(
-                self._traced, self._so_geom
-            )
+            self._so_sza_weights = None
+            self._so_ground_sza_weights = None
+            if n_so_sza > 1:
+                from .util.interpolation import linear_interpolating_matrix
+
+                cs = self._traced.cos_sza
+                seg_mask = self._traced.mask
+                bmask = np.zeros(cs.shape)
+                bmask[:, :-1] += seg_mask
+                bmask[:, 1:] += seg_mask
+                cs_valid = cs[bmask > 0]
+                lo, hi = float(cs_valid.min()), float(cs_valid.max())
+                if hi - lo < 1e-6:
+                    hi = lo + 1e-6
+                so_sza_grid = np.linspace(lo, hi, n_so_sza)
+                self._so_sza_weights = linear_interpolating_matrix(
+                    so_sza_grid, cs.ravel(), "extend"
+                ).reshape(cs.shape + (n_so_sza,))
+                self._so_ground_sza_weights = linear_interpolating_matrix(
+                    so_sza_grid, self._traced.ground_cos_sza, "extend"
+                )
+            else:
+                so_sza_grid = np.array([geometry.cos_sza])
+            self._so_geoms = [
+                successive.build_so_geometry(
+                    geometry.altitudes(), geometry.earth_radius_m,
+                    float(m0), nleg,
+                    n_mu=n_inc, n_phi=n_inc,
+                    refractive_index=geometry.refractive_index,
+                    ms_refraction=config.multiple_scatter_refraction,
+                )
+                for m0 in so_sza_grid
+            ]
+            self._so_geom = self._so_geoms[0]
+            self._so_obs_tables_list = [
+                successive.observer_source_tables(self._traced, g)
+                for g in self._so_geoms
+            ]
+            self._so_obs_tables = self._so_obs_tables_list[0]
             if config.num_stokes == 3:
                 self._so_pol_tabs = successive.build_so_polarized_tables(
                     self._so_geom, nleg
@@ -229,6 +276,7 @@ class Engine:
             self._so_do_init = (
                 config.init_successive_orders_with_discrete_ordinates
                 and config.num_stokes == 1  # DO-init is scalar-only
+                and len(self._so_geoms) == 1  # single-profile only
             )
             if self._so_do_init:
                 from .rt import do_source as do_source_mod
@@ -670,14 +718,49 @@ class Engine:
                 j_init = do_source_mod.ms_source_on_levels(
                     do_internal, self._so_dir_tables
                 )
-            _, j_field, i_ground = successive.successive_orders_field(
-                ext, ssa, leg, alb, self._so_geom,
-                cfg.num_successive_orders_iterations,
-                j_init=j_init,
-            )
-            j_in, j_out = successive.so_source_along_rays(
-                j_field, self._traced, self._so_obs_tables
-            )
+            if len(self._so_geoms) == 1:
+                _, j_field, i_ground = successive.successive_orders_field(
+                    ext, ssa, leg, alb, self._so_geom,
+                    cfg.num_successive_orders_iterations,
+                    j_init=j_init,
+                )
+                j_in, j_out = successive.so_source_along_rays(
+                    j_field, self._traced, self._so_obs_tables
+                )
+                i_ground_ray = i_ground[:, None]  # [W, 1] broadcast
+            else:
+                # SZA-grid diffuse profiles: solve the SO field per grid
+                # SZA and interpolate the LOS source at each boundary's
+                # local SZA (reference DiffuseTable SZA x altitude grid)
+                j_in_list, j_out_list, ig_list = [], [], []
+                for g, ot in zip(self._so_geoms,
+                                 self._so_obs_tables_list):
+                    _, j_field, ig = successive.successive_orders_field(
+                        ext, ssa, leg, alb, g,
+                        cfg.num_successive_orders_iterations,
+                        j_init=None,
+                    )
+                    ji, jo = successive.so_source_along_rays(
+                        j_field, self._traced, ot
+                    )
+                    j_in_list.append(ji)
+                    j_out_list.append(jo)
+                    ig_list.append(ig)
+                wts = jnp.asarray(
+                    self._so_sza_weights, dtype=ext.dtype
+                )  # [R, S+1, n]
+                ji_stack = jnp.stack(j_in_list, axis=-1)   # [W, R, S, n]
+                jo_stack = jnp.stack(j_out_list, axis=-1)
+                S = ji_stack.shape[-2]
+                j_in = jnp.einsum("wrsn,rsn->wrs", ji_stack, wts[:, :S])
+                j_out = jnp.einsum(
+                    "wrsn,rsn->wrs", jo_stack, wts[:, 1 : S + 1]
+                )
+                gw = jnp.asarray(
+                    self._so_ground_sza_weights, dtype=ext.dtype
+                )  # [R, n]
+                ig_stack = jnp.stack(ig_list, axis=-1)     # [W, n]
+                i_ground_ray = jnp.einsum("wn,rn->wr", ig_stack, gw)
             rad = rad + f0 * integrate_od_source(
                 ext, j_in, j_out, self._traced
             )[0]
@@ -688,7 +771,7 @@ class Engine:
                 self._traced.ground_hit, dtype=ext.dtype
             )
             od_obs = singlescatter.optical_depth(ext, self._traced)[0]
-            rad = rad + f0 * ground_obs * i_ground[0] * jnp.exp(-od_obs)
+            rad = rad + f0 * ground_obs * i_ground_ray[0] * jnp.exp(-od_obs)
 
         if self._needs_do:
             from .rt import do_source as do_source_mod
@@ -847,6 +930,12 @@ class Engine:
                 core["leg_a3"][None], core["leg_b1"][None],
             )
             dtau, omega, (a1, a2, a3, b1) = self._layer_optical(ext, ssa, legs)
+            brdf_kw = {}
+            if self._surface_brdf is not None and "brdf_args" in core:
+                brdf_kw = {
+                    "brdf": self._surface_brdf,
+                    "brdf_args": core["brdf_args"],
+                }
             thermal_kw = {}
             if cfg.emission_source in (
                 EmissionSource.DiscreteOrdinates, EmissionSource.TwoStream,
@@ -865,6 +954,7 @@ class Engine:
                     chapman=chapman.get(tables.mu0),
                     f0=f0,
                     **thermal_kw,
+                    **brdf_kw,
                 )[0]
                 rad = rad.at[jnp.asarray(idx)].add(r)
 

@@ -198,6 +198,40 @@ def _eigensolve(a_hat, b_hat, mu, w):
     return k, x, y
 
 
+def brdf_azimuth_moments(brdf, brdf_args, mu, user_mu, mu0, m_indices, dt):
+    """Per-mode azimuth moments of a (scalar) BRDF kernel, computed inside
+    the trace so weighting functions flow to brdf_args (reference BRDF
+    azimuth expansion, ``surface.h:330-617``). The kernel receives the
+    geometric relative azimuth pi - x of the internal Fourier variable
+    (same convention pinning as the radiance synthesis). Shared by the
+    scalar and polarized solvers (the polarized surface couples the
+    scalar kernel into the (1,1) = I-I block)."""
+    nq = 64
+    xq = 2.0 * jnp.pi * (jnp.arange(nq, dtype=dt) + 0.5) / nq
+    wq = 1.0 / nq  # (1/2pi) dphi
+    phi_geo = jnp.pi - xq
+    cosmx = jnp.cos(m_indices[:, None].astype(dt) * xq[None, :])  # [M, Q]
+
+    def moments(mu_out, mu_in):
+        kern = brdf.kernel(
+            mu_out[:, None, None], mu_in[None, :, None],
+            phi_geo[None, None, :], brdf_args,
+        )  # [..., O, I, Q] with leading batch from brdf_args
+        return jnp.einsum("...oiq,mq->...moi", kern, cosmx) * wq
+
+    mu0j = jnp.asarray([mu0], dtype=dt)
+    rho_stream = moments(mu, mu)           # [..., M, N, N]
+    rho_user = moments(user_mu, mu)        # [..., M, U, N]
+    rho_sun_stream = moments(mu, mu0j)[..., 0]   # [..., M, N]
+    rho_sun_user = moments(user_mu, mu0j)[..., 0]  # [..., M, U]
+    return {
+        "rho_stream": jnp.moveaxis(rho_stream, -3, 0),
+        "rho_user": jnp.moveaxis(rho_user, -3, 0),
+        "rho_sun_stream": jnp.moveaxis(rho_sun_stream, -2, 0),
+        "rho_sun_user": jnp.moveaxis(rho_sun_user, -2, 0),
+    }
+
+
 def _beam_sources(omega, beta, lam, lam_sun, parity, m_idx):
     """Q+ / Q- beam scattering source vectors at the stream angles.
 
@@ -784,35 +818,9 @@ def solve_plane_parallel(
 
     surface_ops_all = None
     if brdf is not None:
-        # Per-mode azimuth moments of the BRDF kernel, computed inside the
-        # trace so weighting functions flow to brdf_args (reference BRDF
-        # azimuth expansion, ``surface.h:330-617``). The kernel receives the
-        # geometric relative azimuth pi - x of the internal Fourier variable
-        # (same convention pinning as the radiance synthesis).
-        nq = 64
-        xq = 2.0 * jnp.pi * (jnp.arange(nq, dtype=dt) + 0.5) / nq
-        wq = 1.0 / nq  # (1/2pi) dphi
-        phi_geo = jnp.pi - xq
-        cosmx = jnp.cos(m_indices[:, None].astype(dt) * xq[None, :])  # [M,Q]
-
-        def moments(mu_out, mu_in):
-            kern = brdf.kernel(
-                mu_out[:, None, None], mu_in[None, :, None],
-                phi_geo[None, None, :], brdf_args,
-            )  # [..., O, I, Q] with leading batch from brdf_args
-            return jnp.einsum("...oiq,mq->...moi", kern, cosmx) * wq
-
-        mu0j = jnp.asarray([mu0], dtype=dt)
-        rho_stream = moments(mu, mu)           # [..., M, N, N]
-        rho_user = moments(user_mu, mu)        # [..., M, U, N]
-        rho_sun_stream = moments(mu, mu0j)[..., 0]   # [..., M, N]
-        rho_sun_user = moments(user_mu, mu0j)[..., 0]  # [..., M, U]
-        surface_ops_all = {
-            "rho_stream": jnp.moveaxis(rho_stream, -3, 0),
-            "rho_user": jnp.moveaxis(rho_user, -3, 0),
-            "rho_sun_stream": jnp.moveaxis(rho_sun_stream, -2, 0),
-            "rho_sun_user": jnp.moveaxis(rho_sun_user, -2, 0),
-        }
+        surface_ops_all = brdf_azimuth_moments(
+            brdf, brdf_args, mu, user_mu, mu0, m_indices, dt
+        )
 
     def run_mode(m_idx, lam_m, lam_sun_m, lam_user_m, parity_m, surf_m):
         return _solve_one_mode(

@@ -214,6 +214,8 @@ def solve_plane_parallel_vector(
     thermal_b0=None,
     thermal_b1_bottom=None,
     surface_emission=None,
+    brdf=None,
+    brdf_args=None,
 ):
     """Polarized DO solve. Greek coefficient arrays a1/a2/a3/b1: [..., P, L].
 
@@ -288,16 +290,25 @@ def solve_plane_parallel_vector(
     else:
         thermal = None
 
-    def run_mode(m_idx, pi_m, d0_sun_m, pi_user_m, parity_m):
+    surface_ops_all = None
+    if brdf is not None:
+        surface_ops_all = disco.brdf_azimuth_moments(
+            brdf, brdf_args, mu, user_mu, mu0, m_indices, dt
+        )
+
+    def run_mode(m_idx, pi_m, d0_sun_m, pi_user_m, parity_m, surf_m):
         return _solve_one_mode_vec(
             m_idx, pi_m, d0_sun_m, pi_user_m, parity_m,
             dtau, omega_c, bgreek, t_top, sbar, t_ground,
             albedo, mu, w, mu0, user_mu, user_up_j, include_ss, f0,
-            thermal,
+            thermal, surf_m,
         )
 
-    rad_modes, levels = jax.vmap(run_mode, in_axes=(0, 0, 0, 0, 0))(
-        m_indices, pi, d0_sun, pi_user, parity
+    rad_modes, levels = jax.vmap(
+        run_mode,
+        in_axes=(0, 0, 0, 0, 0, 0 if surface_ops_all else None),
+    )(
+        m_indices, pi, d0_sun, pi_user, parity, surface_ops_all
     )  # [M, ..., U, 3]
 
     # pi - dphi matches the reference's relative-azimuth convention
@@ -331,7 +342,7 @@ def _solve_one_mode_vec(
     m_idx, pi, d0_sun, pi_user, parity,
     dtau, omega, bgreek, t_top, sbar, t_ground,
     albedo, mu, w, mu0, user_mu, user_up, include_ss, f0,
-    thermal=None,
+    thermal=None, surface_ops=None,
 ):
     N = pi.shape[1]
     K = N * NS
@@ -376,20 +387,57 @@ def _solve_one_mode_vec(
         phi_mb = phi_mb + mb
         phi_pt = phi_pt + pt
 
-    # Lambertian ground: reflects the I component only
+    # Ground reflection: the surface couples the I components only (the
+    # scalar BRDF kernel enters the (1,1) block of the polarized surface,
+    # reference ``surface.h:246-617``); Lambertian is the m=0 rank-one
+    # special case.
     e1mask = jnp.zeros((K,)).at[0::NS].set(1.0)
     wmu_f = (w * mu)
-    wmu_I = jnp.zeros((K,)).at[0::NS].set(wmu_f)
-    refl = (
-        2.0 * is_m0 * albedo[..., None, None]
-        * (e1mask[:, None] * wmu_I[None, :])
-    )
-    refl = jnp.broadcast_to(refl, albedo.shape + (K, K))
-    ground_sun = is_m0 * albedo * mu0 * t_ground * f0 / jnp.pi
+    U_user = pi_user.shape[1]
+    if surface_ops is None:
+        refl_I = (
+            2.0 * is_m0 * albedo[..., None, None]
+            * jnp.broadcast_to(wmu_f, albedo.shape + (1, len(mu)))
+        )
+        refl_I = jnp.broadcast_to(refl_I, albedo.shape + (len(mu), len(mu)))
+        ground_sun = is_m0 * albedo * mu0 * t_ground * f0 / jnp.pi
+        gs_stream = ground_sun[..., None] * jnp.ones((len(mu),))
+        refl_user_I = (
+            2.0 * is_m0 * albedo[..., None, None]
+            * jnp.broadcast_to(wmu_f, albedo.shape + (1, len(mu)))
+        )
+        refl_user_I = jnp.broadcast_to(
+            refl_user_I, albedo.shape + (U_user, len(mu))
+        )
+        gd_user_sun = ground_sun[..., None] * jnp.ones((U_user,))
+    else:
+        two_minus_delta = jnp.where(m_idx == 0, 1.0, 2.0)
+        refl_I = 2.0 * jnp.pi * surface_ops["rho_stream"] * wmu_f
+        refl_user_I = 2.0 * jnp.pi * surface_ops["rho_user"] * wmu_f
+        gs_stream = (
+            two_minus_delta
+            * surface_ops["rho_sun_stream"]
+            * (mu0 * t_ground * f0)[..., None]
+        )
+        gd_user_sun = (
+            two_minus_delta
+            * surface_ops["rho_sun_user"]
+            * (mu0 * t_ground * f0)[..., None]
+        )
     ground_thermal = (
         is_m0 * (1.0 - albedo) * thermal[2] if thermal is not None else 0.0
     )
-    ground_direct = (ground_sun + ground_thermal)[..., None] * e1mask
+    batch = jnp.broadcast_shapes(refl_I.shape[:-2], albedo.shape)
+    refl = jnp.zeros(batch + (K, K), dtype=x.dtype)
+    refl = refl.at[..., 0::NS, 0::NS].set(refl_I)
+    ground_direct = jnp.zeros(batch + (K,), dtype=x.dtype)
+    ground_direct = ground_direct.at[..., 0::NS].set(
+        gs_stream
+        + (
+            ground_thermal[..., None]
+            if thermal is not None else 0.0
+        )
+    )
 
     coeff_l, coeff_m, _ = _bvp_blocks(
         k, x, y, dtau, phi_mb, phi_pt, refl, ground_direct
@@ -399,7 +447,7 @@ def _solve_one_mode_vec(
         k, x, y, coeff_l, coeff_m, sources,
         omega, bgreek, dtau,
         pi, pi_user, d0_sun, parity, mu, w, m_idx,
-        user_mu, user_up, albedo, ground_sun, ground_thermal,
+        user_mu, user_up, refl_user_I, gd_user_sun, ground_thermal,
         include_ss, phi_mb,
     )
 
@@ -438,7 +486,7 @@ def _postprocess_mode_vec(
     k, x, y, coeff_l, coeff_m, sources,
     omega, bgreek, dtau,
     pi, pi_user, d0_sun, parity, mu, w, m_idx,
-    user_mu, user_up, albedo, ground_sun, ground_thermal,
+    user_mu, user_up, refl_user_I, gd_user_sun, ground_thermal,
     include_ss, phi_mb,
 ):
     """Vector user-angle postprocessing. Returns [..., U, 3].
@@ -576,19 +624,22 @@ def _postprocess_mode_vec(
                      phi_mb[..., P - 1, :])
     )  # [..., K] transformed downwelling at ground
     i_minus_I = i_minus_ground_f[..., 0::NS]  # I components (D leaves I alone)
-    ground_scalar = 2.0 * is_m0 * albedo * jnp.einsum(
-        "...j,j->...", i_minus_I, w * mu
+    ground_refl = jnp.einsum(
+        "...uj,...j->...u", refl_user_I, i_minus_I
     )
     # sun reflection gated by include_ss; surface thermal emission ungated
+    gt_user = (
+        ground_thermal
+        if isinstance(ground_thermal, float)
+        else ground_thermal[..., None]
+    )
     ground_up_I = (
-        ground_scalar
-        + (ground_sun if include_ss else 0.0)
-        + ground_thermal
+        ground_refl + (gd_user_sun if include_ss else 0.0) + gt_user
     )
     total_od_user = jnp.sum(od_user, axis=-2)
     ground_vec = jnp.zeros(rad_up.shape[:-2] + (U, NS), dtype=rad_up.dtype)
     ground_vec = ground_vec.at[..., 0].set(
-        (jnp.exp(-total_od_user) * ground_up_I[..., None])
+        jnp.exp(-total_od_user) * ground_up_I
     )
     rad_up = rad_up + ground_vec
 

@@ -67,9 +67,19 @@ def trace_2d(
     cos_sza_ref,
     rays,
     n_sun_steps: int = 64,
+    refractive_index=None,
+    los_refraction: bool = False,
 ):
     """Trace TangentAltitude rays (geometry-relative limb rays in the
-    plane) through the 2D grid."""
+    plane) through the 2D grid.
+
+    With ``los_refraction`` the line of sight follows the altitude-
+    refracted Bouguer path of the (1D) ``refractive_index`` profile —
+    the role of the reference's structured 2D tracer's refracted paths
+    (``/root/reference/rust/sasktran2-core/src/raytracer/trace2d.rs``,
+    which also refracts on the altitude coordinate only). The solar
+    attenuation stays straight (solar refraction is a 1D-path feature).
+    """
     radii = earth_radius_m + np.asarray(altitude_grid_m, dtype=np.float64)
     thetas = np.asarray(horizontal_angles, dtype=np.float64)
     A, H = len(radii), len(thetas)
@@ -78,6 +88,12 @@ def trace_2d(
     # segments: shell crossings (2(A-1)) + angle crossings (H)
     S = 2 * (A - 1) + H + 2
     K = 4 * n_sun_steps
+
+    integ = None
+    if los_refraction:
+        from .refraction import RefractiveShellIntegrator
+
+        integ = RefractiveShellIntegrator(radii, refractive_index)
 
     t = TracedRays2D(
         od_idx=np.zeros((R, S, 4), dtype=np.int32),
@@ -97,6 +113,12 @@ def trace_2d(
     theta0 = np.arccos(np.clip(cos_sza_ref, -1.0, 1.0))
 
     for ri, ray in enumerate(rays):
+        if integ is not None:
+            _trace_limb_curved_2d(
+                t, ri, ray, radii, thetas, theta0, integ,
+                earth_radius_m, n_sun_steps,
+            )
+            continue
         rt = earth_radius_m + ray.tangent_altitude_m
         th_t = ray.horizontal_angle_radians
         # line: r cos(theta - th_t) = rt ; traversal increases theta when
@@ -167,9 +189,109 @@ def trace_2d(
     return t
 
 
+def _trace_limb_curved_2d(t, ri, ray, radii, thetas, theta0, integ, re,
+                          n_sun_steps):
+    """Limb ray along the altitude-refracted Bouguer path through the 2D
+    grid (role of the reference 2D tracer's refracted paths,
+    ``trace2d.rs``). The radial machinery is the 1D curved tracer's
+    (``raytrace._trace_limb_curved``); the horizontal angle at each shell
+    boundary accumulates the swept earth-center angle, and the OD gathers
+    stay bilinear in (r, theta). The scattering cosine uses the
+    tangent-point direction (refraction bends the look vector < ~1 deg)
+    and the solar path stays straight."""
+    A = len(radii)
+    P = A - 1
+    H = len(thetas)
+    rt_straight = re + ray.tangent_altitude_m
+    th_t = ray.horizontal_angle_radians
+    rt = integ.tangent_radius(rt_straight)
+    nt = integ.n_at(rt)
+    hits_ground = rt < radii[0]
+
+    if hits_ground:
+        bounds = list(radii)
+        t.ground_hit[ri] = True
+        t.ground_cos_sza[ri] = float(np.cos(theta0 - th_t))
+        it = 0
+        phi0 = integ.shell_integral(rt, nt, rt, radii[0], rt, radii[0])[3]
+    else:
+        jt = int(np.searchsorted(radii, rt))
+        desc = list(range(A - 1, jt - 1, -1))
+        bounds = (
+            [radii[j] for j in desc] + [rt]
+            + [radii[j] for j in reversed(desc)]
+        )
+        it = len(desc)
+        phi0 = 0.0
+
+    nseg = len(bounds) - 1
+    seg = []
+    for s in range(nseg):
+        lo, hi = sorted((bounds[s], bounds[s + 1]))
+        if hi <= lo:
+            seg.append(None)
+            continue
+        rm = 0.5 * (lo + hi)
+        j = int(np.clip(np.searchsorted(radii, rm) - 1, 0, P - 1))
+        L, wlo, whi, dphi = integ.shell_integral(
+            rt, nt, lo, hi, radii[j], radii[j + 1]
+        )
+        seg.append((j, L, wlo, whi, dphi))
+
+    # earth-center angle at each boundary, phi = 0 at the tangent point
+    phis = [0.0] * (nseg + 1)
+    if hits_ground:
+        phis[0] = phi0
+        for s in range(nseg):
+            dphi = seg[s][4] if seg[s] else 0.0
+            phis[s + 1] = phis[s] + dphi
+    else:
+        phis[it] = 0.0
+        for s in range(it - 1, -1, -1):
+            dphi = seg[s][4] if seg[s] else 0.0
+            phis[s] = phis[s + 1] - dphi
+        for s in range(it, nseg):
+            dphi = seg[s][4] if seg[s] else 0.0
+            phis[s + 1] = phis[s] + dphi
+
+    for s in range(nseg):
+        if seg[s] is None:
+            # still fill the boundary so interp/sun tables stay aligned
+            _fill_boundary_2d(
+                t, ri, s, th_t + phis[s], 0.0, rt, th_t, radii, thetas,
+                theta0, n_sun_steps, r_override=bounds[s],
+            )
+            continue
+        j, L, wlo, whi, dphi = seg[s]
+        th_a = th_t + phis[s]
+        th_b = th_t + phis[s + 1]
+        th_m = 0.5 * (th_a + th_b)
+        jt2 = int(np.clip(np.searchsorted(thetas, th_m) - 1, 0, H - 2))
+        g = np.clip(
+            (th_m - thetas[jt2]) / (thetas[jt2 + 1] - thetas[jt2]), 0.0, 1.0
+        )
+        t.od_idx[ri, s] = np.array([
+            jt2 * A + j, jt2 * A + j + 1,
+            (jt2 + 1) * A + j, (jt2 + 1) * A + j + 1,
+        ], dtype=np.int32)
+        t.od_w[ri, s] = np.array([
+            (1 - g) * wlo, (1 - g) * whi, g * wlo, g * whi,
+        ])
+        t.lengths[ri, s] = L
+        t.mask[ri, s] = 1.0
+        _fill_boundary_2d(
+            t, ri, s, th_a, 0.0, rt, th_t, radii, thetas, theta0,
+            n_sun_steps, r_override=bounds[s],
+        )
+    _fill_boundary_2d(
+        t, ri, nseg, th_t + phis[nseg], 0.0, rt, th_t, radii, thetas,
+        theta0, n_sun_steps, r_override=bounds[nseg],
+    )
+
+
 def _fill_boundary_2d(t, ri, b, th, l, rt, th_t, radii, thetas, theta0,
-                      n_sun_steps):
-    r = np.hypot(rt, l)
+                      n_sun_steps, r_override=None):
+    r = np.hypot(rt, l) if r_override is None else r_override
     idx, w = _bilinear(radii, thetas, r, th)
     t.interp_idx[ri, b] = idx
     t.interp_w[ri, b] = w

@@ -217,3 +217,58 @@ def test_so_multiple_scatter_refraction():
     assert r_refr != r_straight
     # refraction is a small correction, not a blow-up
     np.testing.assert_allclose(r_refr, r_straight, rtol=2e-2)
+
+
+def test_so_sza_grid_limb_high_sza():
+    """SZA-grid diffuse profiles (reference DiffuseTable SZA x altitude
+    grid): at high SZA the solar attenuation varies strongly along a limb
+    ray, so a single diffuse profile at the reference SZA is biased;
+    the SZA-grid version must (a) differ materially from the single
+    profile and (b) move toward the SZA-interpolated DO reference."""
+    cos_sza = 0.15  # ~81 degrees
+    geometry = sk.Geometry1D(
+        cos_sza=cos_sza, solar_azimuth=0.0, earth_radius_m=6372000.0,
+        altitude_grid_m=np.linspace(0, 60000, 13),
+        geometry_type=sk.GeometryType.Spherical,
+    )
+    viewing = sk.ViewingGeometry()
+    viewing.add_ray(sk.TangentAltitudeSolar(20000.0, 0.6, 2e5, cos_sza))
+
+    def so_config(n_sza):
+        return sk.Config(
+            num_streams=8,
+            multiple_scatter_source=(
+                sk.MultipleScatterSource.SuccessiveOrders
+            ),
+            single_scatter_source=sk.SingleScatterSource.Exact,
+            num_singlescatter_moments=4,
+            num_successive_orders_iterations=30,
+            num_successive_orders_incoming=100,
+            num_successive_orders_sza=n_sza,
+        )
+
+    c_do = sk.Config(
+        num_streams=8,
+        multiple_scatter_source=sk.MultipleScatterSource.DiscreteOrdinates,
+        single_scatter_source=sk.SingleScatterSource.Exact,
+        num_singlescatter_moments=4,
+        num_do_sza=5,
+    )
+
+    def run(config):
+        engine = sk.Engine(config, geometry, viewing)
+        atmo = default_pure_scattering_atmosphere(
+            config, geometry, ssa=0.9, albedo=0.0
+        )
+        return float(
+            engine.calculate_radiance(atmo)["radiance"].to_numpy()[0, 0, 0]
+        )
+
+    r_single = run(so_config(1))
+    r_grid = run(so_config(5))
+    r_do = run(c_do)
+
+    # materially different at high SZA
+    assert abs(r_grid - r_single) / r_do > 0.005
+    # and closer to the SZA-resolved DO reference
+    assert abs(r_grid - r_do) < abs(r_single - r_do)

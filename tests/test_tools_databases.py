@@ -183,3 +183,28 @@ def test_standard_mie_tool(tmp_path):
     assert np.all(np.isfinite(xt)) and np.all(xt > 0)
     # non-absorbing index: scattering == total
     np.testing.assert_allclose(raw["xs_scattering"], xt, rtol=1e-10)
+
+
+def test_bench_gate(tmp_path):
+    """The ASV-factor-gate analog flags regressions and passes
+    improvements."""
+    sys.path.insert(0, str(TOOLS.parent))
+    import bench_gate
+
+    base = {"metric": "m", "value": 100.0,
+            "extra": {"solves_per_sec_16stream_jac": 50.0,
+                      "batch_16str": 1024}}
+    worse = {"metric": "m", "value": 90.0,
+             "extra": {"solves_per_sec_16stream_jac": 55.0,
+                       "batch_16str": 512}}
+    pb = tmp_path / "base.json"
+    pc = tmp_path / "cont.json"
+    pb.write_text(__import__("json").dumps(base))
+    pc.write_text(__import__("json").dumps(worse))
+    regressions, improvements = bench_gate.gate(pb, pc, factor=1.05)
+    assert [r[0] for r in regressions] == ["value"]
+    assert [i[0] for i in improvements] == [
+        "extra.solves_per_sec_16stream_jac"
+    ]
+    # batch sizes are bookkeeping, never gated
+    assert all("batch" not in n for n, *_ in regressions + improvements)

@@ -1,0 +1,92 @@
+"""Benchmark regression gate (the reference's ASV factor-1.05 gate,
+``.github/workflows/benchmark.yml:23-60``, as a standalone tool).
+
+Compares two bench result files (the driver's ``BENCH_r{N}.json`` capture
+or raw ``bench.py`` JSON lines) metric by metric and fails when any
+throughput metric regresses by more than the factor.
+
+Usage::
+
+    python tools/bench_gate.py BENCH_r03.json BENCH_r04.json --factor 1.05
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+# metrics where larger is better (solves/s family); anything ending in
+# one of these suffixes is gated
+THROUGHPUT_KEYS = ("solves_per_sec", "solves/s", "value",
+                   "_jac", "_2str", "gflops_per_s")
+
+
+def load_metrics(path):
+    """Flatten a bench capture into {metric_name: float}."""
+    raw = json.loads(Path(path).read_text())
+    if "parsed" in raw:  # driver BENCH_r{N}.json capture
+        raw = raw["parsed"]
+    out = {}
+
+    def walk(prefix, obj):
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                walk(f"{prefix}{k}." if prefix else f"{k}.", v) if isinstance(
+                    v, dict
+                ) else walk_leaf(f"{prefix}{k}", v)
+        else:
+            walk_leaf(prefix.rstrip("."), obj)
+
+    def walk_leaf(name, v):
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            out[name] = float(v)
+
+    walk("", raw)
+    return out
+
+
+def gate(base_path, contender_path, factor=1.05):
+    base = load_metrics(base_path)
+    cont = load_metrics(contender_path)
+    regressions = []
+    improvements = []
+    for name, b in sorted(base.items()):
+        if name not in cont or b <= 0:
+            continue
+        if not any(s in name for s in THROUGHPUT_KEYS):
+            continue
+        if "batch" in name or "vs_baseline" in name or "pct" in name:
+            continue
+        c = cont[name]
+        ratio = c / b
+        if ratio < 1.0 / factor:
+            regressions.append((name, b, c, ratio))
+        elif ratio > factor:
+            improvements.append((name, b, c, ratio))
+    return regressions, improvements
+
+
+def main(argv):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("base")
+    ap.add_argument("contender")
+    ap.add_argument("--factor", type=float, default=1.05)
+    args = ap.parse_args(argv)
+    regressions, improvements = gate(args.base, args.contender, args.factor)
+    for name, b, c, r in improvements:
+        print(f"IMPROVED  {name}: {b:.1f} -> {c:.1f} ({r:.2f}x)")
+    for name, b, c, r in regressions:
+        print(f"REGRESSED {name}: {b:.1f} -> {c:.1f} ({r:.2f}x)")
+    if regressions:
+        print(f"{len(regressions)} metric(s) regressed beyond "
+              f"{args.factor}x")
+        return 1
+    print("benchmark gate passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
