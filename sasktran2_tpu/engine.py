@@ -204,7 +204,9 @@ class Engine:
                 )
 
         self._do_groups = []
+        self._do_groups_vec_minor = []
         self._limb_groups = []
+        self._limb_groups_vec_minor = []
         self._flux_groups = []
         if self._is_2d:
             self._needs_do = False
@@ -531,6 +533,7 @@ class Engine:
         # zenith range and the source is interpolated per boundary
         # (reference SZA-grid storage, ``do_source_diffuse_storage.cpp``).
         self._limb_groups = []
+        self._limb_groups_vec_minor = []
         self._limb_sza_weights = None
         if limb_groups:
             from .rt import do_source
@@ -550,6 +553,14 @@ class Engine:
                     num_azimuth=num_azi,
                 )
 
+            def limb_tables_minor(mu0):
+                from .rt.disco_vec_minor import build_vector_minor_tables
+
+                return build_vector_minor_tables(
+                    self._do_nstr, nleg_ms, mu0, np.array([0.5]),
+                    num_azimuth=num_azi,
+                )
+
             if polarized:
                 self._ray_ms_tables = do_source.build_ray_vector_tables(
                     self._traced, nleg_ms, num_azi
@@ -565,6 +576,10 @@ class Engine:
                     self._limb_groups.append(
                         (np.array(idx), [limb_tables(mu0)])
                     )
+                    if polarized:
+                        self._limb_groups_vec_minor.append(
+                            (np.array(idx), [limb_tables_minor(mu0)])
+                        )
             else:
                 cs = self._traced.cos_sza[all_idx]
                 seg_mask = self._traced.mask[all_idx]
@@ -591,6 +606,11 @@ class Engine:
                 )
                 self._limb_sza_weights = wts
                 self._limb_groups.append((all_idx, tables_list))
+                if polarized:
+                    self._limb_groups_vec_minor.append((
+                        all_idx,
+                        [limb_tables_minor(float(m0)) for m0 in sza_grid],
+                    ))
 
     # ------------------------------------------------------------------
     def _layer_optical(self, extinction, ssa, leg_coeff):
@@ -1214,18 +1234,20 @@ class Engine:
 
     def _polarized_fast_ok(self):
         """The wavelength-minor polarized fast path applies when every
-        multiple-scatter contribution is a plane-parallel DO-group solve
-        (ground/nadir rays) with a Lambertian surface and no thermal DO
-        source — the polarized benchmark configuration. Limb scans, SO,
-        BRDF and flux observers keep the generic per-wavelength route."""
+        multiple-scatter contribution is a DO-group solve — ground/nadir
+        rays AND limb scans (SZA-interpolated vector source) — with a
+        Lambertian surface and no thermal DO source. SO, BRDF and flux
+        observers keep the generic per-wavelength route."""
         from .config import EmissionSource
 
         return (
             not self._is_2d
             and self._config.num_stokes == 3
             and self._needs_do
-            and bool(self._do_groups_vec_minor)
-            and not self._limb_groups
+            and bool(
+                self._do_groups_vec_minor or self._limb_groups_vec_minor
+            )
+            and len(self._limb_groups) == len(self._limb_groups_vec_minor)
             and not self._needs_so
             and len(self._flux_observers) == 0
             and getattr(self, "_surface_brdf", None) is None
@@ -1272,6 +1294,55 @@ class Engine:
             rad = rad.at[:, jnp.asarray(idx)].add(
                 jnp.transpose(r, (2, 0, 1))
             )
+
+        # limb groups: wavelength-minor vector internals + segment
+        # sources (the generic polarized limb block, batched over W)
+        if self._limb_groups_vec_minor:
+            from .rt import do_source as do_source_mod
+            from .rt.singlescatter import integrate_od_source
+
+            for idx, tables_list in self._limb_groups_vec_minor:
+                j_in_list, j_out_list = [], []
+                for tables in tables_list:
+                    _, internal = solve_nstream_vector(
+                        dtau_t, omega_t, a1_t, a2_t, a3_t, b1_t, alb,
+                        tables,
+                        np.array([True]), np.array([0.0]),
+                        include_ss=self._do_include_ss,
+                        chapman=chapman.get(tables.mu0),
+                        f0=f0,
+                        return_internal=True,
+                    )
+                    ji, jo = do_source_mod.ms_source_along_rays_vec_minor(
+                        internal, self._traced, self._ray_ms_tables,
+                        include_ss=self._do_include_ss,
+                    )  # [R, S, 3, W]
+                    j_in_list.append(jnp.moveaxis(ji, -1, 0))
+                    j_out_list.append(jnp.moveaxis(jo, -1, 0))
+                if len(tables_list) == 1:
+                    j_in, j_out = j_in_list[0], j_out_list[0]
+                else:
+                    wts = jnp.asarray(
+                        self._limb_sza_weights, dtype=ext.dtype
+                    )  # [R, S+1, n]
+                    ji_stack = jnp.stack(j_in_list, axis=-1)
+                    jo_stack = jnp.stack(j_out_list, axis=-1)
+                    S = ji_stack.shape[-3]
+                    j_in = jnp.einsum(
+                        "wrscn,rsn->wrsc", ji_stack, wts[:, :S]
+                    )
+                    j_out = jnp.einsum(
+                        "wrscn,rsn->wrsc", jo_stack, wts[:, 1 : S + 1]
+                    )
+                ms_rad = jax.vmap(
+                    lambda ji, jo: integrate_od_source(
+                        ext, ji, jo, self._traced
+                    ),
+                    in_axes=-1, out_axes=-1,
+                )(j_in, j_out)  # [W, R, 3]
+                rad = rad.at[:, jnp.asarray(idx)].add(
+                    ms_rad[:, jnp.asarray(idx)]
+                )
         return rad
 
     def _twostream_do_groups_batched(self, core):

@@ -196,6 +196,7 @@ def _mode_radiance_vec(
     m_idx, tab,
     dtau, omega, greeks, t_top, sbar, t_ground,
     albedo, mu, w, mu0, user_mu, user_up, include_ss, f0,
+    with_levels=False,
 ):
     """One azimuth mode, wavelength-minor polarized. ``tab`` is the
     per-mode slice of the stacked static tables (traced through
@@ -358,6 +359,24 @@ def _mode_radiance_vec(
     coeff_l = sol[..., :K, :]                           # [P, K(A), W]
     coeff_m = sol[..., K:, :]
 
+    if with_levels:
+        # level stream fields at layer tops/bottoms (transformed frame,
+        # flattened K), lane-minor — for the limb ray-source evaluation
+        def project_lv(mat, vec):
+            return jnp.sum(mat * vec[..., None, :, :], axis=-2)
+
+        ea = e[:, None, :, :]
+        levels = {
+            "i_plus_top": project_lv(x, coeff_l)
+            + project_lv(y * ea, coeff_m) + project_lv(y, phi_pt),
+            "i_minus_top": project_lv(y, coeff_l)
+            + project_lv(x * ea, coeff_m) + project_lv(x, phi_pt),
+            "i_plus_bot": project_lv(x * ea, coeff_l)
+            + project_lv(y, coeff_m) + project_lv(x, phi_mb),
+            "i_minus_bot": project_lv(y * ea, coeff_l)
+            + project_lv(x, coeff_m) + project_lv(y, phi_mb),
+        }
+
     # --- post-processing --------------------------------------------------
     # stream sums: t1[p, l, c, a, w] = sum_k S[l, c, k] X[p, k, a, w]
     t1 = jnp.einsum("lck,pkaw->plcaw", s_tab, x)
@@ -485,6 +504,8 @@ def _mode_radiance_vec(
     rad = jnp.where(
         jnp.asarray(user_up)[:, None, None], rad_up, rad_dn
     )
+    if with_levels:
+        return rad, levels
     return rad
 
 
@@ -500,6 +521,7 @@ def solve_nstream_vector(
     chapman=None,
     num_azimuth: int | None = None,
     f0=None,
+    return_internal: bool = False,
 ):
     """Polarized N-stream plane-parallel DO radiance, wavelength-minor.
 
@@ -567,6 +589,7 @@ def solve_nstream_vector(
             m_idx, tab,
             dtau, omega, greeks, t_top, sbar, t_ground,
             albedo, mu, w, mu0, user_mu, user_up_np, include_ss, f0,
+            with_levels=return_internal,
         )
 
     # azimuth synthesis: (I, Q) ~ cos m dphi; U ~ sin m dphi, with the
@@ -578,15 +601,42 @@ def solve_nstream_vector(
 
     def mode_body(acc, x):
         m_idx, tab = x
-        r_m = _mode_ckpt(m_idx, tab)                    # [U, 3, W]
+        out = _mode_ckpt(m_idx, tab)
+        r_m, lv = out if return_internal else (out, None)
         cosm = jnp.cos(m_idx * dphi)[:, None]
         sinm = jnp.sin(m_idx * dphi)[:, None]
         az = jnp.stack(
             [cosm, cosm, sinm * dsign_dn[:, None]], axis=1
         )                                               # [U, 3, 1]
-        return acc + az * r_m, None
+        return acc + az * r_m, lv
 
-    rad, _ = jax.lax.scan(
+    rad, levels = jax.lax.scan(
         mode_body, jnp.zeros((U, NS, W), dtype=dt), xs
     )
+    if return_internal:
+        # levels entries stacked over modes: [M, P, K, W]
+        from ..ops.wigner import wigner_d
+
+        theta0 = np.arccos(np.clip(mu0, -1.0, 1.0))
+        L = luse
+        d0_sun = np.stack([
+            wigner_d(np.array(theta0), m, 0, L) for m in range(M)
+        ])
+        ls = np.arange(L)
+        parity = np.stack([(-1.0) ** (ls + m) for m in range(M)])
+        internal = {
+            "levels": levels,
+            "omega": clamp_ssa(omega),
+            "greeks": greeks,                     # [4, L, P, W]
+            "t_top": t_top,
+            "sbar": sbar,
+            "dtau": dtau,
+            "d0_sun": d0_sun,                     # [M, L]
+            "parity": parity,                     # [M, L]
+            "stream_sum": np.asarray(tables.stream_sum[:M, :luse]),
+            "par_d": np.asarray(tables.par_d[:M, :luse]),
+            "mu0": mu0,
+            "f0": f0,
+        }
+        return rad, internal
     return rad

@@ -376,6 +376,165 @@ def ms_source_along_rays_vec(
     return endpoint_source(f_in, 0), endpoint_source(f_out, 1)
 
 
+def ms_source_along_rays_vec_minor(
+    internal, traced: TracedRays, tables, include_ss: bool,
+    ray_chunk: int = 2,
+):
+    """Wavelength-minor analog of ``ms_source_along_rays_vec``:
+    ``internal`` comes from ``disco_vec_minor.solve_nstream_vector(...,
+    return_internal=True)`` (levels [M, P, K, W], greeks [4, L, P, W],
+    W in the lane axis). Same physics — the generalized-spherical
+    expansion evaluated at the signed boundary cosines with the
+    transformed level fields — with the B_l g_l product decomposed onto
+    the four greek arrays (bg0 = a1 g0 - b1 g1, bg1 = a2 g1 - b1 g0,
+    bg2 = a3 g2) and the per-segment contraction chunked over rays like
+    the scalar minor path.
+
+    Returns (j_entrance, j_exit) each [R, S, 3, W].
+    """
+    levels = internal["levels"]      # [M, P, K, W]
+    omega = internal["omega"]        # [P, W]
+    greeks = internal["greeks"]      # [4, L, P, W]
+    t_top = internal["t_top"]
+    sbar = internal["sbar"]
+    dtau = internal["dtau"]
+    f0 = internal["f0"]
+    dt = omega.dtype
+    d0_sun = jnp.asarray(internal["d0_sun"], dtype=dt)   # [M, L]
+    parity = jnp.asarray(internal["parity"], dtype=dt)
+    s_tab = jnp.asarray(internal["stream_sum"], dtype=dt)  # [M, L, 3, K]
+    par_d = jnp.asarray(internal["par_d"], dtype=dt)       # [M, L, 3]
+
+    d0_b = jnp.asarray(tables["d0"], dtype=dt)   # [M, L', R, S+1]
+    pp_b = jnp.asarray(tables["pp"], dtype=dt)
+    pm_b = jnp.asarray(tables["pm"], dtype=dt)
+    cosm = jnp.asarray(tables["cosm"], dtype=dt)  # [M, R, S+1]
+    sinm = jnp.asarray(tables["sinm"], dtype=dt)
+    seg_layer = jnp.asarray(traced.seg_layer)     # [R, S]
+    f_in = jnp.asarray(traced.seg_entrance_frac, dtype=dt)
+    f_out = jnp.asarray(traced.seg_exit_frac, dtype=dt)
+
+    M, L = parity.shape
+    d0_b, pp_b, pm_b = d0_b[:, :L], pp_b[:, :L], pm_b[:, :L]
+    R, S = seg_layer.shape
+    a1, a2, a3, b1 = greeks[0], greeks[1], greeks[2], greeks[3]
+
+    def stream_sums(ip, im):
+        # [M, P, L, 3, W]
+        t1 = jnp.einsum("mlck,mpkw->mplcw", s_tab, ip)
+        t2 = jnp.einsum("mlck,mpkw->mplcw", s_tab, im)
+        return t1 + par_d[:, None, :, :, None] * t2
+
+    def bg_components(g):
+        # B_l g decomposed onto the greek arrays; a*/b1 are [L, P, W]
+        g0, g1, g2 = g[..., 0, :], g[..., 1, :], g[..., 2, :]
+        a1_pl = jnp.moveaxis(a1, 0, 1)[None]   # [1, P, L, W]
+        a2_pl = jnp.moveaxis(a2, 0, 1)[None]
+        a3_pl = jnp.moveaxis(a3, 0, 1)[None]
+        b1_pl = jnp.moveaxis(b1, 0, 1)[None]
+        bg0 = a1_pl * g0 - b1_pl * g1
+        bg1 = a2_pl * g1 - b1_pl * g0
+        bg2 = a3_pl * g2
+        return bg0, bg1, bg2           # each [M, P, L, W]
+
+    g_top = stream_sums(levels["i_plus_top"], levels["i_minus_top"])
+    g_bot = stream_sums(levels["i_plus_bot"], levels["i_minus_bot"])
+    bg_top = bg_components(g_top)
+    bg_bot = bg_components(g_bot)
+
+    nu_d0 = parity * d0_sun            # [M, L]
+    bgb0 = jnp.einsum("lpw,ml->mplw", a1, nu_d0)
+    bgb1 = -jnp.einsum("lpw,ml->mplw", b1, nu_d0)
+
+    mvals = jnp.arange(M)
+    two_minus_delta = jnp.where(mvals == 0, 1.0, 2.0).astype(dt)
+    beam_amp = t_top * (f0[None, :] if f0 is not None else 1.0)  # [P, W]
+
+    pad = (-R) % ray_chunk
+    seg_layer_p = jnp.pad(seg_layer, ((0, pad), (0, 0)))
+    d0_p = jnp.pad(d0_b, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    pp_p = jnp.pad(pp_b, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    pm_p = jnp.pad(pm_b, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    cosm_p = jnp.pad(cosm, ((0, 0), (0, pad), (0, 0)))
+    sinm_p = jnp.pad(sinm, ((0, 0), (0, pad), (0, 0)))
+    f_in_p = jnp.pad(f_in, ((0, pad), (0, 0)))
+    f_out_p = jnp.pad(f_out, ((0, pad), (0, 0)))
+    nch = (R + pad) // ray_chunk
+
+    def chunk_body(args):
+        sl, d0c, ppc, pmc, cmc, smc, fi, fo = args
+        bgt = [v[:, sl] for v in bg_top]      # each [M, C, S, L, W]
+        bgb = [v[:, sl] for v in bg_bot]
+        bgm0 = bgb0[:, sl]
+        bgm1 = bgb1[:, sl]
+        om_t = omega[sl]                      # [C, S, W]
+        amp = beam_amp[sl]
+        sb = sbar[sl]
+        dtv = dtau[sl]
+
+        def endpoint(frac, off):
+            d0s = d0c[:, :, :, off:S + off]   # [M, L, C, S]
+            pps = ppc[:, :, :, off:S + off]
+            pms = pmc[:, :, :, off:S + off]
+            cms = cmc[:, :, off:S + off]      # [M, C, S]
+            sms = smc[:, :, off:S + off]
+            w1 = (1.0 - frac)[None, :, :, None, None]
+            w2 = frac[None, :, :, None, None]
+            c0 = bgt[0] * w1 + bgb[0] * w2
+            c1 = bgt[1] * w1 + bgb[1] * w2
+            c2 = bgt[2] * w1 + bgb[2] * w2
+            half_om = 0.5 * om_t[None, :, :, None, :]
+            c0 = half_om * c0
+            c1 = half_om * c1
+            c2 = half_om * c2
+            if include_ss:
+                tb = (
+                    two_minus_delta[:, None, None, None]
+                    / (4.0 * jnp.pi)
+                    * (amp * jnp.exp(-sb * dtv * frac[..., None]))[None]
+                )[:, :, :, None, :]           # [M, C, S, 1, W]
+                omb = om_t[None, :, :, None, :]
+                c0 = c0 + omb * tb * bgm0
+                c1 = c1 + omb * tb * bgm1
+            j_i = jnp.einsum("mcslw,mlcs->mcsw", c0, d0s)
+            j_q = (
+                jnp.einsum("mcslw,mlcs->mcsw", c1, pps)
+                - jnp.einsum("mcslw,mlcs->mcsw", c2, pms)
+            )
+            j_u = (
+                -jnp.einsum("mcslw,mlcs->mcsw", c1, pms)
+                + jnp.einsum("mcslw,mlcs->mcsw", c2, pps)
+            )
+            out_i = jnp.einsum("mcsw,mcs->csw", j_i, cms)
+            out_q = jnp.einsum("mcsw,mcs->csw", j_q, cms)
+            out_u = jnp.einsum("mcsw,mcs->csw", j_u, sms)
+            return jnp.stack([out_i, out_q, out_u], axis=-2)  # [C,S,3,W]
+
+        return endpoint(fi, 0), endpoint(fo, 1)
+
+    xs = (
+        seg_layer_p.reshape(nch, ray_chunk, S),
+        jnp.moveaxis(
+            d0_p.reshape(M, L, nch, ray_chunk, S + 1), 2, 0
+        ),
+        jnp.moveaxis(
+            pp_p.reshape(M, L, nch, ray_chunk, S + 1), 2, 0
+        ),
+        jnp.moveaxis(
+            pm_p.reshape(M, L, nch, ray_chunk, S + 1), 2, 0
+        ),
+        jnp.moveaxis(cosm_p.reshape(M, nch, ray_chunk, S + 1), 1, 0),
+        jnp.moveaxis(sinm_p.reshape(M, nch, ray_chunk, S + 1), 1, 0),
+        f_in_p.reshape(nch, ray_chunk, S),
+        f_out_p.reshape(nch, ray_chunk, S),
+    )
+    j_in_ch, j_out_ch = jax.lax.map(chunk_body, xs)
+    W = omega.shape[-1]
+    j_in = j_in_ch.reshape(nch * ray_chunk, S, NS, W)[:R]
+    j_out = j_out_ch.reshape(nch * ray_chunk, S, NS, W)[:R]
+    return j_in, j_out
+
+
 def ms_source_along_rays(internal, traced: TracedRays, tables, include_ss: bool):
     """Multiple-scatter source per unit optical depth at segment endpoints.
 

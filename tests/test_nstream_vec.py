@@ -192,3 +192,51 @@ def test_engine_polarized_fast_path_matches_generic(nstr):
         np.testing.assert_allclose(
             a, b, rtol=1e-6, atol=1e-4 * np.abs(b).max(), err_msg=key,
         )
+
+
+def test_engine_polarized_limb_fast_path_matches_generic():
+    """The engine's wavelength-minor POLARIZED LIMB fast path
+    (SZA-interpolated vector DO source) reproduces the generic
+    per-wavelength polarized route, including WFs."""
+    import sasktran2_tpu as sk
+    from sasktran2_tpu.climatology import add_us76_standard_atmosphere
+
+    config = sk.Config(
+        num_streams=4,
+        num_stokes=3,
+        multiple_scatter_source=sk.MultipleScatterSource.DiscreteOrdinates,
+        single_scatter_source=sk.SingleScatterSource.Exact,
+        num_singlescatter_moments=4,
+        num_do_sza=2,
+    )
+    geometry = sk.Geometry1D(
+        cos_sza=0.6, solar_azimuth=0.0, earth_radius_m=6372000.0,
+        altitude_grid_m=np.linspace(0, 60000, 11),
+        geometry_type=sk.GeometryType.Spherical,
+    )
+    viewing = sk.ViewingGeometry()
+    for talt in (15000.0, 30000.0):
+        viewing.add_ray(sk.TangentAltitudeSolar(talt, 0.4, 2e5, 0.6))
+
+    def run(force_generic):
+        engine = sk.Engine(config, geometry, viewing)
+        if force_generic:
+            engine._polarized_fast_ok = lambda: False
+        else:
+            assert engine._polarized_fast_ok()
+        atmo = sk.Atmosphere(
+            geometry, config, wavelengths_nm=np.array([350.0, 550.0]),
+        )
+        add_us76_standard_atmosphere(atmo)
+        atmo["rayleigh"] = sk.constituent.Rayleigh()
+        atmo["surface"] = sk.constituent.LambertianSurface(0.3)
+        return engine.calculate_radiance(atmo)
+
+    out_fast = run(False)
+    out_gen = run(True)
+    for key in out_gen.keys():
+        a = out_fast[key].to_numpy()
+        b = out_gen[key].to_numpy()
+        np.testing.assert_allclose(
+            a, b, rtol=1e-6, atol=1e-4 * np.abs(b).max(), err_msg=key,
+        )
