@@ -103,10 +103,22 @@ class Engine:
                 )
                 raise NotImplementedError(msg)
 
+            from .viewinggeo import (
+                GroundViewingSolar,
+                SolarAnglesObserverLocation,
+            )
+
             rays_2d = []
             theta0_ref = float(np.arccos(np.clip(geometry.cos_sza, -1, 1)))
             for r in self._rays:
-                if isinstance(r, TangentAltitudeSolar):
+                if isinstance(
+                    r, (GroundViewingSolar, SolarAnglesObserverLocation)
+                ) and (
+                    isinstance(r, GroundViewingSolar)
+                    or r.cos_viewing_zenith < 0
+                ):
+                    rays_2d.append(r)
+                elif isinstance(r, TangentAltitudeSolar):
                     # place the tangent point at the horizontal angle where
                     # the in-plane local SZA (theta0 - theta, raytrace2d
                     # convention) matches the ray's cos_sza
@@ -123,8 +135,8 @@ class Engine:
                     rays_2d.append(r)
                 else:
                     msg = (
-                        "Geometry2D requires TangentAltitude or "
-                        "TangentAltitudeSolar rays"
+                        "Geometry2D requires TangentAltitude, "
+                        "TangentAltitudeSolar or ground-viewing rays"
                     )
                     raise NotImplementedError(msg)
             if config.solar_refraction:
@@ -679,17 +691,27 @@ class Engine:
                 rad = rad + f0 * singlescatter.integrate_single_scatter_2d(
                     ext, ssa, leg, self._traced2d, self._phase_tab2d
                 )[0]
+            ground2d = jnp.asarray(
+                self._traced2d.ground_hit, dtype=ext.dtype
+            )
             if cfg.emission_source == EmissionSource.Standard:
                 rad = rad + singlescatter.emission_radiance_2d(
                     ext, ssa, emis, self._traced2d
                 )[0]
+                # attenuated surface emission for ground-hitting rays
+                # (reference 2D ground surface-emission test)
+                od2 = singlescatter.optical_depth_2d(ext, self._traced2d)
+                rad = rad + (
+                    ground2d * (1.0 - alb[..., 0]) * surf_em
+                    * jnp.exp(-od2)[0]
+                )
             if cfg.emission_source == EmissionSource.VolumeEmissionRate:
                 rad = rad + singlescatter.ver_emission_radiance_2d(
                     ext, emis, self._traced2d
                 )[0]
             if cfg.occultation_source == OccultationSource.Standard:
                 od2 = singlescatter.optical_depth_2d(ext, self._traced2d)
-                rad = rad + jnp.exp(-od2)[0]
+                rad = rad + jnp.exp(-od2)[0] * (1.0 - ground2d)
             return rad
 
         rad = jnp.zeros((nlos,), dtype=ext.dtype)
@@ -1219,17 +1241,23 @@ class Engine:
     # ------------------------------------------------------------------
     def _twostream_fast_ok(self):
         """The wavelength-minor fast path applies when every multiple-
-        scatter contribution is a plane-parallel DO-group solve with a
-        Lambertian surface (scalar radiance). nstr=2 groups dispatch to the
-        closed-form two-stream solver (``rt/twostream.py``); nstr>2 groups
-        to the scan-based N-stream solver (``rt/disco_nstream.py``)."""
+        scatter contribution is a plane-parallel DO-group solve (scalar
+        radiance). nstr=2 Lambertian groups dispatch to the closed-form
+        two-stream solver (``rt/twostream.py``); everything else to the
+        scan-based N-stream solver (``rt/disco_nstream.py``), which also
+        carries BRDF surfaces for ground/nadir groups via the shared
+        azimuth-moment quadrature. BRDF limb scans and BRDF flux
+        observers keep the generic route."""
+        brdf_ok = getattr(self, "_surface_brdf", None) is None or (
+            not self._limb_groups and len(self._flux_observers) == 0
+        )
         return (
             not self._is_2d
             and self._config.num_stokes == 1
             and self._needs_do
             and bool(self._do_groups or self._limb_groups)
             and not self._needs_so
-            and getattr(self, "_surface_brdf", None) is None
+            and brdf_ok
         )
 
     def _polarized_fast_ok(self):
@@ -1380,17 +1408,30 @@ class Engine:
                 "thermal_b1_bottom": jnp.moveaxis(b_bot, 0, -1),
                 "surface_emission": surf_em,
             }
+        brdf_kw = {}
+        if self._surface_brdf is not None and "brdf_args" in core:
+            brdf_kw = {
+                "brdf": self._surface_brdf,
+                "brdf_args": core["brdf_args"],
+            }
         chapman = self._chapman_factors(ext.dtype)
         W = ext.shape[0]
         rad = jnp.zeros((W, len(self._rays)), dtype=ext.dtype)
         for idx, tables, user_up, user_azi in self._do_groups:
-            solver = solve_twostream if self._do_nstr == 2 else solve_nstream
+            # BRDF surfaces ride the N-stream minor solver at any nstr
+            # (the closed-form two-stream path is Lambertian-only)
+            solver = (
+                solve_twostream
+                if self._do_nstr == 2 and not brdf_kw
+                else solve_nstream
+            )
             r = solver(
                 dtau_t, omega_t, beta_t, alb, tables, user_up, user_azi,
                 include_ss=self._do_include_ss,
                 chapman=chapman.get(tables.mu0),
                 f0=f0,
                 **thermal_kw,
+                **brdf_kw,
             )  # [U, W]
             rad = rad.at[:, jnp.asarray(idx)].add(jnp.moveaxis(r, 0, -1))
 

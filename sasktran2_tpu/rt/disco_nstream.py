@@ -60,11 +60,14 @@ def _mode_radiance(
     m_idx, lam, lam_sun, lam_user, parity,
     dtau, omega, beta, t_top, sbar, t_ground,
     albedo, mu, w, mu0, user_mu, user_up, include_ss, f0, thermal,
-    with_levels=False,
+    with_levels=False, surface_ops=None,
 ):
     """One azimuth mode, wavelength-minor. lam [L, N] / lam_sun [L] /
     lam_user [L, U] / parity [L] may be traced (lax.scan over modes) or
-    static. Returns radiance [U, W]."""
+    static. ``surface_ops``: per-mode BRDF azimuth moments in lane
+    layout (rho_stream [N, N, W], rho_user [U, N, W], rho_sun_stream
+    [N, W], rho_sun_user [U, W]); None = Lambertian. Returns radiance
+    [U, W]."""
     dt = dtau.dtype
     N = len(mu)
     P = dtau.shape[0]
@@ -157,23 +160,37 @@ def _mode_radiance(
     xe = x * e[:, None, :, :]
     ye = y * e[:, None, :, :]
 
-    # Lambertian ground reflection operator: refl[i, j, w] = 2 a w_j mu_j
+    # Ground reflection operator: Lambertian rank-one 2 a w_j mu_j at
+    # m=0, or the BRDF azimuth moments 2 pi rho_m (disco surface_ops)
     wmu = jnp.asarray(w * mu, dtype=dt)
-    refl = (
-        2.0 * is_m0 * albedo[None, None, :]
-        * wmu[None, :, None] * jnp.ones((N, 1, 1), dtype=dt)
-    )                                                   # [N, N, W]
-    ground_sun = is_m0 * albedo * mu0 * t_ground * f0 / jnp.pi   # [W]
     ground_thermal = (
         is_m0 * (1.0 - albedo) * thermal[2] if thermal is not None else 0.0
     )
     # BVP drive is UNGATED by include_ss: beam->ground->rescatter is a
     # multiple-scatter path (matches disco._solve_one_mode; the include_ss
     # gate applies only to the user-direction ground_up term below).
-    ground_direct_scalar = ground_sun + ground_thermal
-    ground_direct = ground_direct_scalar[None, :] * jnp.ones(
-        (N, 1), dtype=dt
-    )                                                   # [N, W]
+    if surface_ops is None:
+        refl = (
+            2.0 * is_m0 * albedo[None, None, :]
+            * wmu[None, :, None] * jnp.ones((N, 1, 1), dtype=dt)
+        )                                               # [N, N, W]
+        ground_sun = is_m0 * albedo * mu0 * t_ground * f0 / jnp.pi  # [W]
+        ground_direct_scalar = ground_sun + ground_thermal
+        ground_direct = ground_direct_scalar[None, :] * jnp.ones(
+            (N, 1), dtype=dt
+        )                                               # [N, W]
+    else:
+        refl = (
+            2.0 * jnp.pi * surface_ops["rho_stream"] * wmu[None, :, None]
+        )                                               # [N, N, W]
+        gs_stream = (
+            two_minus_delta
+            * surface_ops["rho_sun_stream"]
+            * (mu0 * t_ground * f0)[None, :]
+        )                                               # [N, W]
+        ground_direct = gs_stream + (
+            ground_thermal[None, :] if thermal is not None else 0.0
+        )
 
     idx = jnp.arange(P)
     first_m = (idx == 0)[:, None, None, None]
@@ -330,17 +347,28 @@ def _mode_radiance(
         + jnp.sum(x[P - 1] * coeff_m[P - 1][None], axis=-2)
         + jnp.sum(y[P - 1] * phi_mb[P - 1][None], axis=-2)
     )                                                   # [N, W]
-    # user-angle Lambertian reflection: 2 a sum_j w_j mu_j I-_j
-    refl_sum = 2.0 * is_m0 * albedo * jnp.sum(
-        wmu[:, None] * i_minus_ground, axis=0
-    )                                                   # [W]
-    ground_up = refl_sum[None, :] * jnp.ones(
-        (len(user_mu), 1), dtype=dt
-    )
+    if surface_ops is None:
+        # user-angle Lambertian reflection: 2 a sum_j w_j mu_j I-_j
+        refl_sum = 2.0 * is_m0 * albedo * jnp.sum(
+            wmu[:, None] * i_minus_ground, axis=0
+        )                                               # [W]
+        ground_up = refl_sum[None, :] * jnp.ones(
+            (len(user_mu), 1), dtype=dt
+        )
+        if include_ss:
+            ground_up = ground_up + ground_sun[None, :]
+    else:
+        ground_up = 2.0 * jnp.pi * jnp.einsum(
+            "ujw,j,jw->uw", surface_ops["rho_user"], wmu, i_minus_ground
+        )
+        if include_ss:
+            ground_up = ground_up + (
+                two_minus_delta
+                * surface_ops["rho_sun_user"]
+                * (mu0 * t_ground * f0)[None, :]
+            )
     if thermal is not None:
         ground_up = ground_up + ground_thermal[None, :]
-    if include_ss:
-        ground_up = ground_up + ground_sun[None, :]
     total_od_user = jnp.sum(od_user, axis=0)
     rad_up = rad_up + jnp.exp(-total_od_user) * ground_up
 
@@ -366,11 +394,15 @@ def solve_nstream(
     thermal_b1_bottom=None,
     surface_emission=None,
     return_internal: bool = False,
+    brdf=None,
+    brdf_args=None,
 ):
     """N-stream plane-parallel DO radiance, wavelength-minor.
 
     dtau/omega [P, W] (TOA first); beta [L, P, W]; albedo [W]; ``tables``
     from ``disco.build_mode_tables``. thermal_b0/thermal_b1_bottom [P, W].
+    ``brdf``/``brdf_args`` ([W, nargs]): non-Lambertian surface via the
+    shared azimuth-moment quadrature (disco.brdf_azimuth_moments).
     Returns radiance [U, W]. Same physics as ``disco.solve_plane_parallel``
     (validated at 1e-10 in tests/test_nstream.py).
     """
@@ -431,6 +463,19 @@ def solve_nstream(
     else:
         thermal = None
 
+    surface_ops_all = None
+    if brdf is not None:
+        from .disco import brdf_azimuth_moments
+
+        mom = brdf_azimuth_moments(
+            brdf, brdf_args, jnp.asarray(mu, dtype=dt),
+            jnp.asarray(user_mu, dtype=dt), mu0, jnp.arange(M), dt,
+        )
+        # wavelength-leading [M, W, ...] -> lane layout [M, ..., W]
+        surface_ops_all = {
+            k: jnp.moveaxis(v, 1, -1) for k, v in mom.items()
+        }
+
     # scan over azimuth modes with stacked static tables: the traced graph
     # holds ONE mode body regardless of M, which is what keeps nstr=16
     # compile time flat (round-2 lesson: unrolling 16 modes of the unrolled
@@ -441,6 +486,7 @@ def solve_nstream(
         jnp.asarray(np.asarray(tables.lam_sun[:M, :luse]), dtype=dt),
         jnp.asarray(np.asarray(tables.lam_user[:M, :luse]), dtype=dt),
         jnp.asarray(np.asarray(tables.parity[:M, :luse]), dtype=dt),
+        surface_ops_all,
     )
     U = len(user_mu)
     W = dtau.shape[-1]
@@ -450,18 +496,19 @@ def solve_nstream(
     # W=512) — recomputing a mode during the backward sweep is far cheaper
     # than spilling those to HBM
     @jax.checkpoint
-    def _mode_ckpt(m_idx, lam, lam_sun, lam_user, parity):
+    def _mode_ckpt(m_idx, lam, lam_sun, lam_user, parity, surf_m):
         return _mode_radiance(
             m_idx, lam, lam_sun, lam_user, parity,
             dtau, omega, beta, t_top, sbar, t_ground,
             albedo, mu, w, mu0, user_mu, user_up, include_ss, f0,
             thermal,
             with_levels=return_internal,
+            surface_ops=surf_m,
         )
 
     def mode_body(acc, x):
-        m_idx, lam, lam_sun, lam_user, parity = x
-        out = _mode_ckpt(m_idx, lam, lam_sun, lam_user, parity)
+        m_idx, lam, lam_sun, lam_user, parity, surf_m = x
+        out = _mode_ckpt(m_idx, lam, lam_sun, lam_user, parity, surf_m)
         r_m, lv = out if return_internal else (out, None)
         az = jnp.cos(m_idx * (jnp.pi - user_azimuth))[:, None]
         return acc + az * r_m, lv

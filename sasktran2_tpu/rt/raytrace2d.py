@@ -113,6 +113,12 @@ def trace_2d(
     theta0 = np.arccos(np.clip(cos_sza_ref, -1.0, 1.0))
 
     for ri, ray in enumerate(rays):
+        if not hasattr(ray, "tangent_altitude_m"):
+            # ground-viewing ray (engine maps GroundViewingSolar /
+            # downward SolarAnglesObserverLocation into the plane)
+            _trace_ground_2d(t, ri, ray, radii, thetas, theta0,
+                             n_sun_steps)
+            continue
         if integ is not None:
             _trace_limb_curved_2d(
                 t, ri, ray, radii, thetas, theta0, integ,
@@ -187,6 +193,61 @@ def trace_2d(
         _fill_boundary_2d(t, ri, len(pts) - 1, pts[-1], ls[-1], rt, th_t,
                           radii, thetas, theta0, n_sun_steps)
     return t
+
+
+def _trace_ground_2d(t, ri, ray, radii, thetas, theta0, n_sun_steps):
+    """Downward-looking (ground-hitting) ray through the 2D grid: the
+    straight line from the ground point upward toward the observer, with
+    the ground point at the horizontal angle where the in-plane local SZA
+    matches the ray's cos_sza (the same placement convention as the limb
+    mapping). Reference capability: GroundViewingSolar with Geometry2D
+    (``tests/engine/test_geometry2d_emission.py`` ground test)."""
+    from .raytrace import _exact_shell_weights
+
+    A = len(radii)
+    H = len(thetas)
+    muv = abs(ray.cos_viewing_zenith)
+    th_g = theta0 - np.arccos(np.clip(ray.cos_sza, -1.0, 1.0))
+    sv = np.sqrt(max(1.0 - muv * muv, 0.0))
+    rt = radii[0] * sv
+    ls = np.sqrt(np.maximum(radii**2 - rt * rt, 0.0))
+    th_b = th_g + (np.arctan2(ls, rt) - np.arctan2(ls[0], rt))
+
+    t.ground_hit[ri] = True
+    t.ground_cos_sza[ri] = float(ray.cos_sza)
+    # scattering cosine for the slanted direction: cos Theta = -cos(alpha
+    # - theta0) with alpha the ray's global in-plane polar angle
+    alpha = th_g + np.arccos(np.clip(muv, -1.0, 1.0))
+    cs = float(-np.cos(alpha - theta0))
+
+    # propagation ground -> TOA (far end first: the ground)
+    for s in range(A - 1):
+        w_lo, w_hi = _exact_shell_weights(
+            ls[s], ls[s + 1], rt, radii[s], radii[s + 1]
+        )
+        th_m = 0.5 * (th_b[s] + th_b[s + 1])
+        jt2 = int(np.clip(np.searchsorted(thetas, th_m) - 1, 0, H - 2))
+        g = np.clip(
+            (th_m - thetas[jt2]) / (thetas[jt2 + 1] - thetas[jt2]),
+            0.0, 1.0,
+        )
+        t.od_idx[ri, s] = np.array([
+            jt2 * A + s, jt2 * A + s + 1,
+            (jt2 + 1) * A + s, (jt2 + 1) * A + s + 1,
+        ], dtype=np.int32)
+        t.od_w[ri, s] = np.array([
+            (1 - g) * w_lo, (1 - g) * w_hi, g * w_lo, g * w_hi,
+        ])
+        t.lengths[ri, s] = ls[s + 1] - ls[s]
+        t.mask[ri, s] = 1.0
+        _fill_boundary_2d(
+            t, ri, s, th_b[s], 0.0, rt, th_g, radii, thetas, theta0,
+            n_sun_steps, r_override=radii[s], cos_scatter=cs,
+        )
+    _fill_boundary_2d(
+        t, ri, A - 1, th_b[-1], 0.0, rt, th_g, radii, thetas, theta0,
+        n_sun_steps, r_override=radii[-1], cos_scatter=cs,
+    )
 
 
 def _trace_limb_curved_2d(t, ri, ray, radii, thetas, theta0, integ, re,
@@ -290,7 +351,7 @@ def _trace_limb_curved_2d(t, ri, ray, radii, thetas, theta0, integ, re,
 
 
 def _fill_boundary_2d(t, ri, b, th, l, rt, th_t, radii, thetas, theta0,
-                      n_sun_steps, r_override=None):
+                      n_sun_steps, r_override=None, cos_scatter=None):
     r = np.hypot(rt, l) if r_override is None else r_override
     idx, w = _bilinear(radii, thetas, r, th)
     t.interp_idx[ri, b] = idx
@@ -300,8 +361,11 @@ def _fill_boundary_2d(t, ri, b, th, l, rt, th_t, radii, thetas, theta0,
     # scattering cosine equals -sin(theta0 - th_t) for relazi = 0).
     sza = theta0 - th
     # the scattering angle between the straight ray and the fixed sun is
-    # constant along the ray
-    t.cos_scatter[ri, b] = -np.sin(theta0 - th_t)
+    # constant along the ray (tangent-point value; ground rays pass their
+    # own slanted-direction value)
+    t.cos_scatter[ri, b] = (
+        -np.sin(theta0 - th_t) if cos_scatter is None else cos_scatter
+    )
     _sun_march(t, ri, b, r, th, sza, radii, thetas, n_sun_steps)
 
 

@@ -181,3 +181,49 @@ def test_weighted_brdf_engine():
 
     fd_vol = (mix_vol(0.15 + h) - mix_vol(0.15 - h))[0, 0, 0] / (2 * h)
     np.testing.assert_allclose(an_vol, fd_vol, rtol=1e-4)
+
+
+def test_brdf_engine_fast_path_matches_generic():
+    """Scalar BRDF ground/nadir groups now ride the wavelength-minor
+    N-stream fast path (shared azimuth-moment quadrature); parity with
+    the generic per-wavelength route, including the kernel-weight WF."""
+    import sasktran2_tpu as sk
+    from sasktran2_tpu.climatology import add_us76_standard_atmosphere
+
+    config = sk.Config(
+        num_streams=4,
+        multiple_scatter_source=sk.MultipleScatterSource.DiscreteOrdinates,
+        single_scatter_source=sk.SingleScatterSource.DiscreteOrdinates,
+        num_singlescatter_moments=4,
+    )
+    geometry = sk.Geometry1D(
+        cos_sza=0.6, solar_azimuth=0.0, earth_radius_m=6372000.0,
+        altitude_grid_m=np.linspace(0, 40000, 11),
+        geometry_type=sk.GeometryType.PlaneParallel,
+    )
+    viewing = sk.ViewingGeometry()
+    viewing.add_ray(sk.GroundViewingSolar(0.6, 0.7, 0.85, 2e5))
+    viewing.add_ray(sk.GroundViewingSolar(0.6, 1.9, 0.45, 2e5))
+
+    def run(force_generic):
+        engine = sk.Engine(config, geometry, viewing)
+        if force_generic:
+            engine._twostream_fast_ok = lambda: False
+        atmo = sk.Atmosphere(geometry, config,
+                             wavelengths_nm=np.array([450.0, 550.0]))
+        add_us76_standard_atmosphere(atmo)
+        atmo["rayleigh"] = sk.constituent.Rayleigh()
+        atmo["surface"] = sk.constituent.MODIS(0.25, 0.15, 0.05)
+        out = engine.calculate_radiance(atmo)
+        if not force_generic:
+            assert engine._twostream_fast_ok()
+        return out
+
+    out_fast = run(False)
+    out_gen = run(True)
+    for key in out_gen.keys():
+        a = out_fast[key].to_numpy()
+        b = out_gen[key].to_numpy()
+        np.testing.assert_allclose(
+            a, b, rtol=1e-6, atol=1e-4 * np.abs(b).max(), err_msg=key,
+        )

@@ -200,3 +200,40 @@ def test_horizontally_uniform_2d_emission_matches_1d(source):
     np.testing.assert_allclose(
         r2["radiance"].to_numpy(), r1["radiance"].to_numpy(), rtol=1e-8
     )
+
+
+def test_ground_surface_emission_attenuated_and_matches_1d():
+    """Ground-viewing ray through a 2D atmosphere: the surface emission
+    is attenuated by the slant path and matches the equivalent 1D run
+    (reference test_geometry2d_emission.py ground test)."""
+    config = _config(sk.EmissionSource.Standard)
+    geometry_1d = _geometry1d()
+    geometry_2d = _geometry2d()
+    viewing = sk.ViewingGeometry()
+    viewing.add_ray(sk.GroundViewingSolar(0.6, 0.0, 0.5, 100_000.0))
+
+    extinction = np.full((3, 2), 1.0e-6)
+    surface_emission = np.array([2.0, 3.0])
+
+    def make(geometry, tile):
+        atmo = sk.Atmosphere(
+            geometry, config, wavelengths_nm=WAVELENGTHS_NM,
+            calculate_derivatives=False,
+        )
+        ext = np.tile(extinction, (tile, 1))
+        atmo.storage.total_extinction[:] = ext
+        atmo.storage.ssa[:] = 0.0
+        atmo.storage.emission_source[:] = 0.0
+        atmo.surface.emission[:] = surface_emission
+        return atmo
+
+    r1 = sk.Engine(config, geometry_1d, viewing).calculate_radiance(
+        make(geometry_1d, 1)
+    )["radiance"].to_numpy()
+    r2 = sk.Engine(config, geometry_2d, viewing).calculate_radiance(
+        make(geometry_2d, 3)
+    )["radiance"].to_numpy()
+
+    assert np.all(r2 > 0.0)
+    assert np.all(r2[:, 0, 0] < surface_emission)
+    np.testing.assert_allclose(r2, r1, rtol=1e-8)
