@@ -16,12 +16,15 @@ from .config import (
     GeometryType,
     InputValidationMode,
     InterpolationMethod,
+    LogLevel,
     MultipleScatterSource,
     OccultationSource,
     SingleScatterSource,
     SpectralGridMode,
     StokesBasis,
+    ThreadingLib,
     ThreadingModel,
+    TwoStreamBackend,
 )
 from .dataset import DataArray, Dataset
 from .geodetic import Geodetic
@@ -60,7 +63,10 @@ __all__ = [
     "StokesBasis",
     "TangentAltitude",
     "TangentAltitudeSolar",
+    "ThreadingLib",
     "ThreadingModel",
+    "TwoStreamBackend",
+    "LogLevel",
     "ViewingGeometry",
 ]
 

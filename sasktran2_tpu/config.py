@@ -63,6 +63,38 @@ class ThreadingModel(enum.Enum):
     Source = "source"
 
 
+class ThreadingLib(enum.Enum):
+    """Kept for API compatibility (reference ``config.py:575-586``); no
+    thread pools exist on the TPU build."""
+
+    Rayon = "rayon"
+    OpenMP = "openmp"
+
+
+class TwoStreamBackend(enum.Enum):
+    """Kept for API compatibility (reference ``TwoStreamBackend
+    {cpp, rust}``); the TPU build has ONE unified two-stream path (the
+    nstr=2 specialization of the batched DO solver), so the choice is
+    accepted and ignored."""
+
+    Cpp = "cpp"
+    Rust = "rust"
+
+
+class LogLevel(enum.IntEnum):
+    """Engine log verbosity (reference spdlog levels plumbed through
+    ``config.py:589-642``), mapped onto Python ``logging`` levels for the
+    ``sasktran2_tpu`` logger."""
+
+    Trace = 5
+    Debug = 10
+    Info = 20
+    Warn = 30
+    Error = 40
+    Critical = 50
+    Off = 100
+
+
 class InputValidationMode(enum.Enum):
     Strict = "strict"
     Standard = "standard"
@@ -153,7 +185,14 @@ class Config:
     # --- threading / batching (advisory on TPU) --------------------------
     num_threads: int = 1
     threading_model: ThreadingModel = ThreadingModel.Wavelength
+    threading_lib: ThreadingLib = ThreadingLib.Rayon
+    two_stream_backend: TwoStreamBackend = TwoStreamBackend.Rust
     wavelength_batch_size: int = 128
+
+    # --- logging ----------------------------------------------------------
+    # setting a non-default level configures the `sasktran2_tpu` logger
+    # (see Config.__post_init__); reference default is Warn
+    log_level: LogLevel = LogLevel.Warn
 
     # --- validation / refraction -----------------------------------------
     input_validation_mode: InputValidationMode = InputValidationMode.Standard
@@ -168,6 +207,17 @@ class Config:
     dtype: str = "float64"  # "float32" on TPU benches, "float64" for CPU tests
     calculate_derivatives: bool = True
     wf_enabled_names: tuple | None = None  # restrict which wf_* outputs are built
+
+    def __post_init__(self):
+        if self.log_level != LogLevel.Warn:
+            import logging
+
+            level = (
+                logging.CRITICAL + 10
+                if self.log_level == LogLevel.Off
+                else int(self.log_level)
+            )
+            logging.getLogger("sasktran2_tpu").setLevel(level)
 
     def validate(self) -> None:
         if self.num_streams < 2 or self.num_streams % 2 != 0:
