@@ -589,6 +589,14 @@ def successive_orders_field(
 # neighbouring azimuth nodes); exact along each straight internal ray,
 # whose meridian plane is constant. Validated against the polarized DO
 # solver at the percent level (tests/test_polarized_so.py).
+#
+# Round-4 experiment (do not repeat blindly): parallel-transported
+# frame rotations at every direction-interpolation node (minimal-rotation
+# basis correction, both signs) did NOT reduce the Q/U error at
+# n_inc=144 — measured dQ/I 0.20->0.21/0.34%, dU/I 0.52->0.42/0.92% vs
+# the componentwise baseline. The residual is dominated by the angular
+# discretization of the scattering kernel, not the gather-basis mix;
+# raising n_inc is the effective lever (0.1%/0.03% by n_inc=784).
 # ---------------------------------------------------------------------------
 
 
