@@ -253,3 +253,32 @@ def test_extinction_scatterer_2d():
 def test_gaussian_aerosol_profile_helper():
     prof = aerosol_profile(np.linspace(0, 40000, 41))
     assert prof.max() == prof[22]
+
+
+def test_rayleigh_manual_matches_bates():
+    """Rayleigh('manual') with the Bates cross sections/King factors fed
+    back in must reproduce the Bates constituent exactly (reference
+    constituent/rayleigh.py manual mode)."""
+    from sasktran2_tpu.optical.rayleigh import rayleigh_cross_section_bates
+
+    config, geometry, viewing = _setup()
+    engine = sk.Engine(config, geometry, viewing)
+    wl = np.array([350.0, 550.0])
+    xs, king = rayleigh_cross_section_bates(wl / 1000.0)
+
+    def run(constituent):
+        atmo = sk.Atmosphere(geometry, config, wavelengths_nm=wl)
+        add_us76_standard_atmosphere(atmo)
+        atmo["rayleigh"] = constituent
+        atmo["surface"] = sk.constituent.LambertianSurface(0.3)
+        return engine.calculate_radiance(atmo)["radiance"].to_numpy()
+
+    r_bates = run(Rayleigh())
+    r_manual = run(Rayleigh("manual", wavelengths_nm=wl, xs=xs,
+                            king_factor=king))
+    np.testing.assert_allclose(r_manual, r_bates, rtol=1e-12)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="manual"):
+        Rayleigh("manual")
