@@ -218,6 +218,24 @@ class Config:
                 else int(self.log_level)
             )
             logging.getLogger("sasktran2_tpu").setLevel(level)
+        # reference-compat aliases (previously accepted and silently
+        # ignored): ``apply_delta_scaling`` is the reference tests' name
+        # for delta_m_scaling; ``num_sza`` is the reference's SZA-grid
+        # count for multiple-scatter sources (the repo's per-source knobs
+        # are num_do_sza / num_successive_orders_sza)
+        if self.apply_delta_scaling and not self.delta_m_scaling:
+            self.delta_m_scaling = True
+        if self.num_sza > 1:
+            if self.num_do_sza == 1:
+                self.num_do_sza = self.num_sza
+            if self.num_successive_orders_sza == 1:
+                self.num_successive_orders_sza = self.num_sza
+        if self.singlescatter_phasefunction_from_tms:
+            msg = (
+                "singlescatter_phasefunction_from_tms (TMS single-scatter "
+                "correction) is not implemented"
+            )
+            raise NotImplementedError(msg)
 
     def validate(self) -> None:
         if self.num_streams < 2 or self.num_streams % 2 != 0:

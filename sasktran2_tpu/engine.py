@@ -185,9 +185,13 @@ class Engine:
             # sun weights, jitted compute identical to the exact mode
             from .rt.raytrace import apply_solar_table
 
+            table_kw = {}
+            if config.num_solar_zenith_angles > 0:
+                table_kw["n_sza"] = config.num_solar_zenith_angles
             self._traced = apply_solar_table(
                 self._traced, geometry.altitudes(),
                 geometry.earth_radius_m,
+                **table_kw,
             )
         ms = config.multiple_scatter_source
         self._needs_so = ms == MultipleScatterSource.SuccessiveOrders

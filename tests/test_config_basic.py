@@ -48,3 +48,20 @@ def test_config_independent_instances():
     c2 = sk.Config(num_streams=8)
     assert c1.num_streams == 4
     assert c2.num_streams == 8
+
+
+def test_config_aliases_and_guards():
+    """Reference-compat aliases are honored, not silently ignored."""
+    c = sk.Config(apply_delta_scaling=True)
+    assert c.delta_m_scaling
+
+    c = sk.Config(num_sza=3)
+    assert c.num_do_sza == 3
+    assert c.num_successive_orders_sza == 3
+
+    # explicit per-source values win over the alias
+    c = sk.Config(num_sza=3, num_do_sza=5)
+    assert c.num_do_sza == 5
+
+    with pytest.raises(NotImplementedError, match="tms"):
+        sk.Config(singlescatter_phasefunction_from_tms=True)
