@@ -365,6 +365,12 @@ def _case_polarized_minor(nstr, W):
     return _case_lane(lambda w: _build_polarized_minor(nstr, w), W)
 
 
+def _case_nstream_200lyr(nstr, W):
+    """BASELINE.md flagship anchor shape: 200 layers, 40 streams, full
+    Jacobians (reference: 3.61 s/solve on one CPU thread)."""
+    return _case_lane(lambda w: _build_nstream_minor(nstr, w, P=200), W)
+
+
 CASES = {
     # name -> (thunk, timeout_s). Sizes from on-device sweeps; timeouts
     # cover compile (cold, through the device tunnel) + 6 runs.
@@ -374,8 +380,12 @@ CASES = {
     "16str_1k": (lambda: _case_nstream_minor(16, 1024), 480),
     "16str_512": (lambda: _case_nstream_minor(16, 512), 480),
     "16str_256": (lambda: _case_nstream_minor(16, 256), 420),
+    "40str_200lyr_128": (lambda: _case_nstream_200lyr(40, 128), 900),
+    "40str_200lyr_64": (lambda: _case_nstream_200lyr(40, 64), 700),
     "pol3_4str_1k": (lambda: _case_polarized_minor(4, 1024), 480),
     "pol3_4str_256": (lambda: _case_polarized_minor(4, 256), 420),
+    "pol3_16str_256": (lambda: _case_polarized_minor(16, 256), 900),
+    "pol3_16str_128": (lambda: _case_polarized_minor(16, 128), 700),
     "16str_limb_256": (lambda: _case_engine_limb16(256), 900),
     "16str_limb_128": (lambda: _case_engine_limb16(128), 700),
 }
@@ -459,21 +469,44 @@ def main():
         W16 = 256
         solves16 = _run_case_subprocess("16str_256")
 
+    W40 = 128
+    solves40 = _run_case_subprocess("40str_200lyr_128")
+    if solves40 is None:
+        W40 = 64
+        solves40 = _run_case_subprocess("40str_200lyr_64")
+
     Wp = 1024
     solves_pol = _run_case_subprocess("pol3_4str_1k")
     if solves_pol is None:
         Wp = 256
         solves_pol = _run_case_subprocess("pol3_4str_256")
 
+    Wp16 = 256
+    solves_pol16 = _run_case_subprocess("pol3_16str_256")
+    if solves_pol16 is None:
+        Wp16 = 128
+        solves_pol16 = _run_case_subprocess("pol3_16str_128")
+
     solves_limb = _run_case_subprocess("16str_limb_256")
     if solves_limb is None:
         solves_limb = _run_case_subprocess("16str_limb_128")
 
     baseline_2str = 17.0  # ref CPU thread, 100 lyr, 2 str, with Jacobians
-    # 16-stream CPU anchor: timing.ipynb nstr sweep reaches ~158 ms by ~10
-    # streams without derivatives; with Jacobians the reference is ~1
-    # solve/s at 16 streams (VERDICT round 2 uses the same anchor).
-    baseline_16str = 1.0
+    # 16-stream CPU anchor DERIVED from BASELINE.md's two measured
+    # Jacobian-inclusive points (timing.ipynb cells 4/5):
+    #   t(nstr=2,  100 layers) = 58.4 ms
+    #   t(nstr=40, 200 layers) = 3.61 s  -> /2 for 100 layers (cost is
+    #   linear in layer count for both the per-layer eigensolves and the
+    #   block-tridiagonal BVP) = 1.805 s
+    # Power-law interpolation in nstr between the two points:
+    #   b = ln(1805/58.4)/ln(40/2) = 1.145;  t(16) = 58.4 ms * 8^1.145
+    #     = 631 ms  ->  1.585 solves/s.
+    t2, t40_100lyr = 58.4e-3, 3.61 / 2.0
+    b_exp = np.log(t40_100lyr / t2) / np.log(40.0 / 2.0)
+    baseline_16str = 1.0 / (t2 * (16.0 / 2.0) ** b_exp)
+    # 200-layer/40-stream flagship anchor is measured directly: 0.28
+    # solves/s (BASELINE.md row 5; no interpolation needed).
+    baseline_40str_200lyr = 0.28
     print(
         json.dumps(
             {
@@ -491,8 +524,18 @@ def main():
                         round(solves16 / baseline_16str, 1)
                         if solves16 else None
                     ),
+                    "solves_per_sec_40str_200lyr_jac": (
+                        round(solves40, 2) if solves40 else None
+                    ),
+                    "speedup_40str_200lyr_vs_cpu": (
+                        round(solves40 / baseline_40str_200lyr, 1)
+                        if solves40 else None
+                    ),
                     "solves_per_sec_polarized_4str_jac": (
                         round(solves_pol, 1) if solves_pol else None
+                    ),
+                    "solves_per_sec_polarized_16str_jac": (
+                        round(solves_pol16, 1) if solves_pol16 else None
                     ),
                     "solves_per_sec_engine_path_2str": (
                         round(solves_engine, 1) if solves_engine else None
@@ -502,7 +545,9 @@ def main():
                     ),
                     "batch_2str": W,
                     "batch_16str": W16,
+                    "batch_40str": W40,
                     "batch_pol3": Wp,
+                    "batch_pol3_16str": Wp16,
                     "flops": _case_mfu,
                 },
             }

@@ -1,10 +1,11 @@
 """Database access layer.
 
 Role of the reference's ``src/sasktran2/database/`` (CachedDatabase /
-WebDatabase with appdirs caching). This build runs in a zero-egress
-environment: the same API surface is provided, with downloads replaced by
-clear errors pointing at the local-path workflow; any locally-present files
-are used transparently.
+WebDatabase / ZipWebDatabase / StandardDatabase / zenodo with appdirs
+caching). Downloads go through ``urllib`` (``web.py``), so ``file://``
+URLs work without egress and locally-present files are always used
+transparently; in a zero-egress environment a missing file raises a
+clear error pointing at the local-path workflow.
 """
 
 from __future__ import annotations
@@ -43,30 +44,10 @@ class CachedDatabase:
             shutil.rmtree(self._path)
 
 
-class WebDatabase(CachedDatabase):
-    """Reference API parity: a database normally fetched from a URL. In the
-    zero-egress build, ``fetch`` validates the local cache instead of
-    downloading and raises with instructions when data is missing."""
-
-    def __init__(self, url: str, rel_path: str):
-        super().__init__(rel_path)
-        self.url = url
-
-    def fetch(self, rel: str = "") -> Path:
-        p = self.path(rel)
-        if p.exists():
-            return p
-        msg = (
-            f"Database file {p} is not present and this build cannot "
-            f"download ({self.url}). Place the file there manually or set "
-            "SASKTRAN2_TPU_DB_ROOT."
-        )
-        raise FileNotFoundError(msg)
-
-
 def __getattr__(name):
     # lazy: database.mie imports the optical layer, which imports this
-    # package — defer to avoid the cycle
+    # package — defer to avoid the cycle (same for web.py, which imports
+    # CachedDatabase from here)
     if name == "MieDatabase":
         from .mie import MieDatabase
 
@@ -75,5 +56,10 @@ def __getattr__(name):
         from .hitran_line import HITRANLineDatabase
 
         return HITRANLineDatabase
+    if name in ("WebDatabase", "ZipWebDatabase", "StandardDatabase",
+                "download_zenodo_record"):
+        from . import web
+
+        return getattr(web, name)
     msg = f"module 'sasktran2_tpu.database' has no attribute {name!r}"
     raise AttributeError(msg)

@@ -30,6 +30,41 @@ def _setup(nstr=2, ms=None):
     return config, geometry, viewing
 
 
+def test_sharded_hlo_has_no_hot_path_collectives():
+    """Pins the MULTICHIP_SCALING.json note's claim: the wavelength axis
+    is embarrassingly parallel, so the compiled SPMD HLO of the sharded
+    forward+Jacobian step must contain NO cross-device collectives
+    (all-reduce / all-gather / reduce-scatter / collective-permute /
+    all-to-all). A partitioning change that silently introduces one would
+    turn ICI traffic into a per-solve cost and show up here, not in a
+    noisy throughput number."""
+    config, geometry, viewing = _setup()
+    engine = sk.Engine(config, geometry, viewing)
+    mesh = make_mesh(n_wavelength=8, n_los=1)
+    atmo = sk.Atmosphere(
+        geometry, config, wavelengths_nm=np.linspace(300.0, 700.0, 16),
+    )
+    add_us76_standard_atmosphere(atmo)
+    atmo["rayleigh"] = sk.constituent.Rayleigh()
+    atmo["surface"] = sk.constituent.LambertianSurface(0.3)
+    engine.calculate_radiance(atmo, mesh=mesh)  # builds _compute_jit
+
+    from sasktran2_tpu.parallel import shard_core_wavelength
+
+    core = {
+        k: np.asarray(v, dtype=engine._dtype)
+        for k, v in atmo.internal_object().items()
+    }
+    core, _ = shard_core_wavelength(core, mesh)
+    hlo = engine._compute_jit.lower(core).compile().as_text()
+    for op in ("all-reduce", "all-gather", "reduce-scatter",
+               "collective-permute", "all-to-all"):
+        assert op not in hlo, (
+            f"hot-path SPMD HLO contains a {op}; the wavelength-sharded "
+            "solve is supposed to be collective-free"
+        )
+
+
 @pytest.mark.parametrize("W", [8, 11])  # 11 exercises the shard padding
 def test_mesh_sharded_matches_unsharded(W):
     config, geometry, viewing = _setup()

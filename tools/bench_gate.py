@@ -46,9 +46,32 @@ def load_metrics(path):
     return out
 
 
-def gate(base_path, contender_path, factor=1.05):
+class BatchMismatch(RuntimeError):
+    """Raised when two rounds measured different fallback batch sizes: a
+    round that fell back to a smaller wavelength batch must not be
+    compared against a full-batch round on a noise margin (round-4
+    verdict weak #5)."""
+
+
+def check_batches(base, cont):
+    mismatches = []
+    for name, b in sorted(base.items()):
+        if "batch" in name and name in cont and cont[name] != b:
+            mismatches.append((name, b, cont[name]))
+    return mismatches
+
+
+def gate(base_path, contender_path, factor=1.05,
+         allow_batch_mismatch=False):
     base = load_metrics(base_path)
     cont = load_metrics(contender_path)
+    mismatches = check_batches(base, cont)
+    if mismatches and not allow_batch_mismatch:
+        raise BatchMismatch(
+            "fallback batch sizes differ between rounds: "
+            + ", ".join(f"{n}: {b:g} vs {c:g}" for n, b, c in mismatches)
+            + " (rerun, or pass --allow-batch-mismatch to compare anyway)"
+        )
     regressions = []
     improvements = []
     for name, b in sorted(base.items()):
@@ -74,8 +97,16 @@ def main(argv):
     ap.add_argument("base")
     ap.add_argument("contender")
     ap.add_argument("--factor", type=float, default=1.05)
+    ap.add_argument("--allow-batch-mismatch", action="store_true")
     args = ap.parse_args(argv)
-    regressions, improvements = gate(args.base, args.contender, args.factor)
+    try:
+        regressions, improvements = gate(
+            args.base, args.contender, args.factor,
+            allow_batch_mismatch=args.allow_batch_mismatch,
+        )
+    except BatchMismatch as e:
+        print(f"REFUSED: {e}")
+        return 2
     for name, b, c, r in improvements:
         print(f"IMPROVED  {name}: {b:.1f} -> {c:.1f} ({r:.2f}x)")
     for name, b, c, r in regressions:
