@@ -299,33 +299,69 @@ def _checksum(out):
     """Host-transfer a scalar derived from every output — the only reliable
     synchronization through the device tunnel (block_until_ready can return
     before remote execution completes, and identical-input executions are
-    cached)."""
+    cached). ONE combined fetch: each per-leaf ``float(...)`` costs a full
+    ~36 ms tunnel round trip (round-5 measurement), which at 5 leaves used
+    to double the reported per-call time of the solver cases."""
     import jax
 
     leaves = jax.tree_util.tree_leaves(out)
-    total = 0.0
-    for leaf in leaves:
-        total += float(leaf.ravel()[0])
-    return total
+    total = jax.jit(lambda ls: sum(l.ravel()[0] for l in ls))(leaves)
+    return float(total)
 
 
-def _time_solves(fn, inputs, repeats=5):
-    """Median wall time per call with fresh input values every call and a
-    host-sync on the result."""
+AMORT_K = 4
+
+
+def _amortized(fn, inputs):
+    """One dispatch = AMORT_K perturbed evaluations of ``fn`` with a single
+    scalar output. The ~36 ms dispatch + fetch round trip through the axon
+    tunnel is paid once per AMORT_K solves instead of once per solve, so
+    the measurement reflects chip throughput, not tunnel latency. Each
+    leaf is fully reduced (jnp.sum) into the accumulator so XLA cannot
+    dead-code-eliminate any part of the solve; the loop index feeds the
+    perturbation so iterations cannot be shared."""
+    import jax
+    import jax.numpy as jnp
+
+    def g(x):
+        def step(i, acc):
+            xx = dict(x)
+            eps = 1e-5 * i.astype(x["dtau"].dtype)
+            xx["dtau"] = x["dtau"] * (1.0 + eps)
+            if "omega" in xx:
+                xx["omega"] = x["omega"] * (1.0 - 0.1 * eps)
+            out = fn(xx)
+            return acc + sum(
+                jnp.sum(leaf)
+                for leaf in jax.tree_util.tree_leaves(out)
+            )
+
+        return jax.lax.fori_loop(
+            0, AMORT_K, step, jnp.zeros((), x["dtau"].dtype)
+        )
+
+    return jax.jit(g)
+
+
+def _time_solves(fn, inputs, repeats=5, _amortized_already=False):
+    """Median wall time per evaluation: amortized in-graph loop (AMORT_K
+    evaluations per dispatch), fresh input values every call, one scalar
+    host-sync per dispatch."""
     import time as _t
 
-    _checksum(fn(inputs))
+    gn = fn if _amortized_already else _amortized(fn, inputs)
+    float(gn(inputs))
     times = []
     for i in range(repeats):
         inp = dict(inputs)
         inp["dtau"] = inputs["dtau"] * (1.0 + 1e-4 * (i + 1))
         _ = float(inp["dtau"].ravel()[0])
         t0 = _t.perf_counter()
-        out = fn(inp)
-        _checksum(out)
+        out = gn(inp)
+        _ = float(out)
         times.append(_t.perf_counter() - t0)
     times.sort()
-    return times[len(times) // 2]
+    return times[len(times) // 2] / AMORT_K
 
 
 def _flops_of(fn, inputs):
@@ -343,12 +379,15 @@ def _flops_of(fn, inputs):
 
 def _case_lane(builder, W):
     """Run a solver-level lane case: median-time solves/s plus FLOP and
-    wall-time telemetry lines for the parent process."""
+    wall-time telemetry lines for the parent process. The amortized
+    wrapper is built ONCE (one tunnel compile) and reused for both the
+    timing and the cost analysis."""
     fn, inputs = builder(W)
-    dt = _time_solves(fn, inputs)
-    flops = _flops_of(fn, inputs)
+    gn = _amortized(fn, inputs)
+    dt = _time_solves(gn, inputs, _amortized_already=True)
+    flops = _flops_of(gn, inputs)
     if flops:
-        print(f"CASE_FLOPS {flops}", flush=True)
+        print(f"CASE_FLOPS {flops / AMORT_K}", flush=True)
     print(f"CASE_TIME {dt}", flush=True)
     return W / dt
 

@@ -849,6 +849,7 @@ class Engine:
                         include_ss=self._do_include_ss,
                         chapman=chapman.get(tables.mu0),
                         f0=f0,
+                        num_azimuth=getattr(self, "_num_azi_eff", None),
                         **thermal_kw,
                         **brdf_kw,
                     )[0]
@@ -865,6 +866,7 @@ class Engine:
                         chapman=chapman.get(tables.mu0),
                         return_internal=True,
                         f0=f0,
+                        num_azimuth=getattr(self, "_num_azi_eff", None),
                         **thermal_kw,
                     )
                     ji, jo = do_source_mod.ms_source_along_rays(
@@ -999,6 +1001,7 @@ class Engine:
                     include_ss=self._do_include_ss,
                     chapman=chapman.get(tables.mu0),
                     f0=f0,
+                    num_azimuth=getattr(self, "_num_azi_eff", None),
                     **thermal_kw,
                     **brdf_kw,
                 )[0]
@@ -1018,6 +1021,7 @@ class Engine:
                             chapman=chapman.get(tables.mu0),
                             return_internal=True,
                             f0=f0,
+                            num_azimuth=getattr(self, "_num_azi_eff", None),
                             **thermal_kw,
                         )
                         ji, jo = do_source_mod.ms_source_along_rays_vec(
@@ -1288,6 +1292,36 @@ class Engine:
             )
         )
 
+    def _effective_num_azimuth(self, core_np):
+        """Static azimuth-mode truncation from the phase expansion's
+        support — the TPU analog of the reference's azimuth convergence
+        early-exit (``do_source.cpp:47-57``). DO mode m contracts only
+        Legendre/greek moments with l >= m in both its scattering kernel
+        and its beam source, so when every moment with l >= m is exactly
+        zero the mode's radiance is exactly zero and the mode scan can
+        stop at m. The count is computed host-side from the numpy inputs
+        before tracing and participates in the jit key (a Rayleigh
+        atmosphere at nstr=16 solves 3 modes instead of 16 — same
+        result, bit-for-bit in exact arithmetic).
+
+        Disabled (returns None = solver default) under forced azimuth or
+        a BRDF surface: BRDF azimuth moments couple the direct beam into
+        every mode regardless of the phase expansion."""
+        if self._config.num_forced_azimuth > 0:
+            return None
+        if getattr(self, "_surface_brdf", None) is not None:
+            return None
+        lmax = 0
+        for key in ("leg_coeff", "leg_a2", "leg_a3", "leg_b1"):
+            arr = core_np.get(key)
+            if arr is None:
+                continue
+            nz = np.any(np.asarray(arr) != 0.0,
+                        axis=tuple(range(np.ndim(arr) - 1)))
+            if nz.any():
+                lmax = max(lmax, int(np.max(np.nonzero(nz)[0])))
+        return lmax + 1
+
     def _polarized_do_groups_batched(self, core):
         """All polarized DO-group radiances for the whole wavelength batch
         via the wavelength-minor vector solver
@@ -1322,6 +1356,7 @@ class Engine:
                 include_ss=self._do_include_ss,
                 chapman=chapman.get(tables.mu0),
                 f0=f0,
+                num_azimuth=getattr(self, "_num_azi_eff", None),
             )  # [U, 3, W]
             rad = rad.at[:, jnp.asarray(idx)].add(
                 jnp.transpose(r, (2, 0, 1))
@@ -1344,6 +1379,7 @@ class Engine:
                         chapman=chapman.get(tables.mu0),
                         f0=f0,
                         return_internal=True,
+                        num_azimuth=getattr(self, "_num_azi_eff", None),
                     )
                     ji, jo = do_source_mod.ms_source_along_rays_vec_minor(
                         internal, self._traced, self._ray_ms_tables,
@@ -1434,6 +1470,7 @@ class Engine:
                 include_ss=self._do_include_ss,
                 chapman=chapman.get(tables.mu0),
                 f0=f0,
+                num_azimuth=getattr(self, "_num_azi_eff", None),
                 **thermal_kw,
                 **brdf_kw,
             )  # [U, W]
@@ -1455,6 +1492,7 @@ class Engine:
                         chapman=chapman.get(tables.mu0),
                         f0=f0,
                         return_internal=True,
+                        num_azimuth=getattr(self, "_num_azi_eff", None),
                         **thermal_kw,
                     )
                     ji, jo = do_source_mod.ms_source_along_rays_minor(
@@ -1696,6 +1734,10 @@ class Engine:
         if getattr(self, "_surface_brdf", None) is not new_brdf:
             self._compute_jit = None  # different ground model -> new trace
         self._surface_brdf = new_brdf
+        m_eff = self._effective_num_azimuth(core_np)
+        if getattr(self, "_num_azi_eff", "unset") != m_eff:
+            self._compute_jit = None  # different mode count -> new trace
+        self._num_azi_eff = m_eff
         mappings = atmosphere.storage.derivative_mappings
         surf_mappings = atmosphere.surface.derivative_mappings
         needs_jac = atmosphere.calculate_derivatives and (

@@ -314,6 +314,28 @@ def _lane_jacobi_scan_impl(a, sweeps=None):
     if sweeps is None:
         sweeps = 7 if a.dtype == jnp.float32 else 10
 
+    # TPU: single fused Pallas kernel — all sweeps execute in VMEM per
+    # (layer, lane-tile) block instead of re-materializing [P, n, n, W]
+    # through HBM every tournament round (round-5 roofline: the scan
+    # formulation ran at ~30 GB/s / 7.7 GFLOP/s, an order of magnitude
+    # under both measured ceilings). Same rotations, same order; parity
+    # pinned by tests/test_pallas_jacobi.py.
+    import os
+
+    if (
+        a.ndim == 4
+        and a.dtype == jnp.float32
+        and not os.environ.get("SASKTRAN2_TPU_NO_PALLAS")
+        and jax.default_backend() == "tpu"
+    ):
+        from .pallas_jacobi import jacobi_eigh_pallas
+
+        eigvals, v = jacobi_eigh_pallas(a, sweeps)
+        if odd:
+            eigvals = eigvals[..., :n, :]
+            v = v[..., :n, :n, :]
+        return eigvals, v
+
     p_t, q_t, perm_t, sign_t, pair_t = _stacked_round_tables(npad)
     eye = jnp.eye(npad, dtype=a.dtype)[..., None]
     v0 = jnp.broadcast_to(eye, a.shape)
@@ -422,16 +444,39 @@ def _thomas_broadcast(lower, diag, upper, rhs):
     return lo, di, up, r
 
 
+def _pallas_thomas_ok(di, r):
+    """The Pallas streaming kernel applies on the TPU backend for plain
+    f32 [P, K, K, W] solves (no extra batch dims). Kill switch:
+    SASKTRAN2_TPU_NO_PALLAS=1."""
+    import os
+
+    if os.environ.get("SASKTRAN2_TPU_NO_PALLAS"):
+        return False
+    return (
+        di.ndim == 4
+        and r.ndim == 3
+        and di.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+    )
+
+
 def _thomas_batched(lo, di, up, r, use_cr: bool = False):
     """Block-tridiagonal solve used by both the primal and the adjoint of
-    ``lane_block_thomas_solve``. The scan-based Thomas sweep wins on TPU
-    at production shapes (measured at nstr=16, P=100, W=1024: 4005
-    solves/s vs 2552 for log-depth cyclic reduction — with W in the lanes
-    each sequential step already has full vector-unit width, so CR's 2x
-    FLOPs and larger graph cost more than its latency saves); ``use_cr``
-    keeps the CR variant available for narrow-W workloads."""
+    ``lane_block_thomas_solve``. On the TPU backend the solve runs as a
+    streaming Pallas kernel (``ops/pallas_thomas.py``) — the round-5
+    roofline measured the scan formulation latency-bound at ~24 GB/s /
+    6.5 GFLOP/s because 2 x P sequential scan steps each pay kernel
+    overhead, while the Pallas kernel keeps the recursion carry in VMEM
+    and streams layer blocks through the double-buffered pipeline. The
+    scan path remains for CPU/f64/batched shapes and is the parity
+    oracle; ``use_cr`` keeps the log-depth cyclic-reduction variant
+    available."""
     if use_cr:
         return lane_block_tridiag_solve(lo, di, up, r)
+    if _pallas_thomas_ok(di, r):
+        from .pallas_thomas import thomas_solve_pallas
+
+        return thomas_solve_pallas(lo, di, up, r)
     x = _thomas_forward(
         jnp.moveaxis(lo, -4, 0),
         jnp.moveaxis(di, -4, 0),

@@ -74,8 +74,11 @@ def ms_source_on_levels(internal, tables):
     dt = omega.dtype
     lam_d = jnp.asarray(tables["lam_d"], dtype=dt)  # [M, L', D]
     cosm = jnp.asarray(tables["cosm"], dtype=dt)    # [M, D]
-    L = lam.shape[1]
-    lam_d = lam_d[:, :L]
+    M, L = lam.shape[:2]
+    # tables may carry more azimuth modes than the (possibly truncated)
+    # solve used — slice to the internal's mode count
+    lam_d = lam_d[:M, :L]
+    cosm = cosm[:M]
 
     def stream_sums(ip, im):
         s1 = jnp.einsum("mln,mbpn->mbpl", lam, ip * wq)
@@ -135,7 +138,9 @@ def ms_source_along_rays_minor(
     f_out = jnp.asarray(traced.seg_exit_frac, dtype=dt)
 
     M, L = parity.shape
-    lam_b = lam_b[:, :L]
+    # slice the table mode axis to the solve's (possibly truncated) M
+    lam_b = lam_b[:M, :L]
+    cosm = cosm[:M]
     R, S = seg_layer.shape
 
     def stream_sums(ip, im):
@@ -291,7 +296,9 @@ def ms_source_along_rays_vec(
 
     M, L = parity.shape
     N = pi.shape[2]
-    d0_b, pp_b, pm_b = d0_b[:, :L], pp_b[:, :L], pm_b[:, :L]
+    # slice the table mode axis to the solve's (possibly truncated) M
+    d0_b, pp_b, pm_b = d0_b[:M, :L], pp_b[:M, :L], pm_b[:M, :L]
+    cosm, sinm = cosm[:M], sinm[:M]
     dsign = jnp.asarray(DSIGN, dtype=dt)
 
     def stream_sums(ip, im):
@@ -415,7 +422,9 @@ def ms_source_along_rays_vec_minor(
     f_out = jnp.asarray(traced.seg_exit_frac, dtype=dt)
 
     M, L = parity.shape
-    d0_b, pp_b, pm_b = d0_b[:, :L], pp_b[:, :L], pm_b[:, :L]
+    # slice the table mode axis to the solve's (possibly truncated) M
+    d0_b, pp_b, pm_b = d0_b[:M, :L], pp_b[:M, :L], pm_b[:M, :L]
+    cosm, sinm = cosm[:M], sinm[:M]
     R, S = seg_layer.shape
     a1, a2, a3, b1 = greeks[0], greeks[1], greeks[2], greeks[3]
 
@@ -562,9 +571,11 @@ def ms_source_along_rays(internal, traced: TracedRays, tables, include_ss: bool)
     f_in = jnp.asarray(traced.seg_entrance_frac, dtype=dt)   # [R, S]
     f_out = jnp.asarray(traced.seg_exit_frac, dtype=dt)
 
-    # Truncate the ray tables to the solver's Legendre count
-    L = lam.shape[1]
-    lam_b = lam_b[:, :L]
+    # Truncate the ray tables to the solver's Legendre count and
+    # (possibly truncated) azimuth mode count
+    M, L = lam.shape[:2]
+    lam_b = lam_b[:M, :L]
+    cosm = cosm[:M]
 
     def stream_sums(ip, im):
         s1 = jnp.einsum("mln,mbpn->mbpl", lam, ip * wq)

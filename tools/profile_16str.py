@@ -47,10 +47,13 @@ def _enable_compile_cache():
 
 
 def _sync(x):
+    """Scalar-only host transfer per leaf (NEVER np.asarray the full
+    array: through the axon tunnel a 64 MB fetch dwarfs the compute and
+    corrupts the measurement)."""
     import jax
 
     leaves = jax.tree_util.tree_leaves(x)
-    return sum(float(np.asarray(l).ravel()[0]) for l in leaves)
+    return sum(float(l.ravel()[0]) for l in leaves)
 
 
 def _median_time(fn, inputs, repeats=5, perturb_key="dtau"):
@@ -59,7 +62,7 @@ def _median_time(fn, inputs, repeats=5, perturb_key="dtau"):
     for i in range(repeats):
         inp = dict(inputs)
         inp[perturb_key] = inputs[perturb_key] * (1.0 + 1e-4 * (i + 1))
-        _ = float(np.asarray(inp[perturb_key]).ravel()[0])
+        _ = float(inp[perturb_key].ravel()[0])
         t0 = time.perf_counter()
         out = fn(inp)
         _sync(out)
@@ -80,6 +83,11 @@ def _cost(fn, inputs):
 
 # ---------------------------------------------------------------------------
 # Empirical device ceilings
+#
+# Every dispatch through the axon tunnel costs ~20-35 ms of round-trip
+# latency, so each probe amortizes over enough on-device work that the
+# overhead is <5% — and the measured dispatch overhead itself is reported
+# so solver numbers can be interpreted.
 # ---------------------------------------------------------------------------
 
 
@@ -89,56 +97,80 @@ def measure_ceilings():
 
     out = {}
 
-    # MXU f32 (highest precision — what the solver uses)
+    # dispatch overhead: jitted identity on a 4-byte array
+    tiny = jnp.zeros((1,), jnp.float32)
+    idf = jax.jit(lambda x: x + 1.0)
+    dt = _median_time(lambda i: idf(i["x"]), {"x": tiny}, perturb_key="x")
+    out["dispatch_overhead_ms"] = dt * 1e3
+
+    # MXU f32 (highest precision — what the solver uses): 64 chained
+    # 4096^3 matmuls = 8.8 TFLOP per dispatch
     n = 4096
-    a = jnp.ones((n, n), jnp.float32)
+    iters = 64
+    a = jnp.full((n, n), 1e-3, jnp.float32)
 
     @jax.jit
     def mm(x):
         with jax.default_matmul_precision("highest"):
-            for _ in range(8):
+            for _ in range(iters):
                 x = x @ a
             return x
 
     dt = _median_time(lambda i: mm(i["x"]), {"x": a}, perturb_key="x")
-    out["mxu_f32_tflops"] = 8 * 2 * n**3 / dt / 1e12
+    out["mxu_f32_tflops"] = iters * 2 * n**3 / dt / 1e12
 
-    # MXU bf16
-    ab = jnp.ones((n, n), jnp.bfloat16)
+    ab = jnp.full((n, n), 1e-3, jnp.bfloat16)
 
     @jax.jit
     def mmb(x):
-        for _ in range(8):
+        for _ in range(iters):
             x = x @ ab
         return x
 
     dt = _median_time(lambda i: mmb(i["x"]), {"x": ab}, perturb_key="x")
-    out["mxu_bf16_tflops"] = 8 * 2 * n**3 / dt / 1e12
+    out["mxu_bf16_tflops"] = iters * 2 * n**3 / dt / 1e12
 
-    # VPU f32: chain of dependent FMAs on a resident vector.
-    m = 8 * 1024 * 1024  # 32 MB f32, fits the loop body in registers/VMEM
+    # VPU f32: 8 INDEPENDENT chains x 64 dependent FMAs per loop pass on
+    # 8 MB of data — 16 flops/byte of loop-carry traffic, so the number
+    # reflects VPU issue throughput (one dependent chain alone measures
+    # pipeline latency; one FMA per pass measures HBM bandwidth)
+    m = 2 * 1024 * 1024
     v = jnp.full((m,), 1.000001, jnp.float32)
-    K = 256
+    K = 16
+    NCH = 8
+    INNER = 64
 
-    @jax.jit
-    def fma(x):
-        y = x
-        for _ in range(K):
-            y = y * 1.0000001 + x
-        return y
+    def fma_body(x):
+        ys = tuple(x * (1.0 + 1e-7 * j) for j in range(NCH))
 
+        def step(_, ys):
+            ys = tuple(ys)
+            for _i in range(INNER):
+                ys = tuple(y * 1.0000001 + x for y in ys)
+            return ys
+
+        ys = jax.lax.fori_loop(0, K, step, ys)
+        return sum(ys)
+
+    fma = jax.jit(fma_body)
     dt = _median_time(lambda i: fma(i["x"]), {"x": v}, perturb_key="x")
-    out["vpu_f32_tflops"] = 2 * K * m / dt / 1e12
+    out["vpu_f32_tflops"] = 2 * K * NCH * INNER * m / dt / 1e12
 
-    # HBM bandwidth: big copy (read + write)
+    # HBM read bandwidth: K full passes over a 1 GiB array. Each
+    # iteration's jnp.sum(x * c_i) must re-read x (the scale depends on
+    # the loop index, so XLA cannot fuse the passes together).
     big = jnp.ones((256, 1024, 1024), jnp.float32)  # 1 GiB
+    KH = 16
 
-    @jax.jit
-    def cp(x):
-        return x + 1.0
+    def bw_body(x):
+        def step(i, acc):
+            return acc + jnp.sum(x * (1.0 + i.astype(jnp.float32)))
 
-    dt = _median_time(lambda i: cp(i["x"]), {"x": big}, perturb_key="x")
-    out["hbm_gbps"] = 2 * big.size * 4 / dt / 1e9
+        return jax.lax.fori_loop(0, KH, step, jnp.float32(0.0))
+
+    bw = jax.jit(bw_body)
+    dt = _median_time(lambda i: bw(i["x"]), {"x": big}, perturb_key="x")
+    out["hbm_read_gbps"] = KH * big.size * 4 / dt / 1e9
     return out
 
 
@@ -275,30 +307,54 @@ def build_stage_fns(nstr, W, P=100, L=40, num_azimuth=2):
             np.array([True]), np.array([0.0]), num_azimuth=num_azimuth,
         )
 
-    def with_prec(f):
-        def g(x):
-            import jax as _j
+    AMORT_K = 8
 
-            with _j.default_matmul_precision("highest"):
-                return f(x)
+    def amortize(f):
+        """One dispatch = AMORT_K perturbed evaluations, so the ~20-35 ms
+        tunnel round-trip is <5% of the measurement. The loop index feeds
+        the perturbation, so XLA cannot share work between iterations."""
+
+        def g(x):
+            def step(i, acc):
+                xx = dict(x)
+                eps = 1e-6 * i.astype(x["dtau"].dtype)
+                # perturb BOTH dtau and omega: omega feeds every stage
+                # (assemble/eig don't read dtau — perturbing dtau alone
+                # lets XLA hoist those stages out of the loop)
+                xx["dtau"] = x["dtau"] * (1.0 + eps)
+                xx["omega"] = x["omega"] * (1.0 - eps)
+                with jax.default_matmul_precision("highest"):
+                    return acc + jnp.sum(f(xx))
+
+            return jax.lax.fori_loop(
+                0, AMORT_K, step, jnp.zeros((), x["dtau"].dtype)
+            )
+
+        return jax.jit(g)
+
+    def with_grad(f):
+        def g(x):
+            val, vjp = jax.vjp(f, x)
+            grads = vjp(jnp.ones_like(val))[0]
+            return jnp.sum(val) + sum(
+                jnp.sum(v) for v in jax.tree_util.tree_leaves(grads)
+            )
 
         return g
 
-    def fwd_vjp(x):
-        with jax.default_matmul_precision("highest"):
-            rad, vjp = jax.vjp(full_solve, x)
-            return rad, vjp(jnp.ones_like(rad))[0]
-
-    import jax as _jax
-
     stages = {
-        "assemble": _jax.jit(with_prec(lambda x: _modes_prefix(x, "assemble"))),
-        "eig": _jax.jit(with_prec(lambda x: _modes_prefix(x, "eig"))),
-        "bvp": _jax.jit(with_prec(lambda x: _modes_prefix(x, "bvp"))),
-        "full_fwd": _jax.jit(with_prec(full_solve)),
-        "full_fwd_vjp": _jax.jit(fwd_vjp),
+        "assemble": amortize(lambda x: _modes_prefix(x, "assemble")),
+        "eig": amortize(lambda x: _modes_prefix(x, "eig")),
+        "bvp": amortize(lambda x: _modes_prefix(x, "bvp")),
+        "full_fwd": amortize(full_solve),
+        "assemble_vjp": amortize(
+            with_grad(lambda x: _modes_prefix(x, "assemble"))
+        ),
+        "eig_vjp": amortize(with_grad(lambda x: _modes_prefix(x, "eig"))),
+        "bvp_vjp": amortize(with_grad(lambda x: _modes_prefix(x, "bvp"))),
+        "full_fwd_vjp": amortize(with_grad(full_solve)),
     }
-    return stages, inputs
+    return stages, inputs, AMORT_K
 
 
 def main():
@@ -321,34 +377,35 @@ def main():
         report["ceilings"] = measure_ceilings()
         print(json.dumps(report["ceilings"], indent=2), flush=True)
 
-    stages, inputs = build_stage_fns(args.nstr, args.w, num_azimuth=args.modes)
+    stages, inputs, amort_k = build_stage_fns(
+        args.nstr, args.w, num_azimuth=args.modes
+    )
+    report["amortize_k"] = amort_k
     report["stages"] = {}
-    prev_t = 0.0
     for name, fn in stages.items():
         t0 = time.perf_counter()
-        dt = _median_time(fn, inputs)
-        compile_s = time.perf_counter() - t0 - 6 * dt
+        dt_total = _median_time(fn, inputs)
+        compile_s = time.perf_counter() - t0 - 6 * dt_total
+        dt = dt_total / amort_k  # per-evaluation
         flops, bytes_ = _cost(fn, inputs)
         entry = {
             "time_s": dt,
-            "delta_s": dt - prev_t,
             "compile_s": round(max(compile_s, 0.0), 1),
         }
         if flops is not None:
-            entry["gflops_per_s"] = flops / dt / 1e9
-            entry["flops"] = flops
+            entry["gflops_per_s"] = flops / amort_k / dt / 1e9
+            entry["flops"] = flops / amort_k
         if bytes_ is not None:
-            entry["gbytes_per_s"] = bytes_ / dt / 1e9
-            entry["bytes"] = bytes_
-        if name in ("assemble", "eig", "bvp"):
-            prev_t = dt
+            entry["gbytes_per_s"] = bytes_ / amort_k / dt / 1e9
+            entry["bytes"] = bytes_ / amort_k
         report["stages"][name] = entry
         print(f"{name}: {json.dumps(entry)}", flush=True)
 
     if "full_fwd_vjp" in report["stages"]:
         dt = report["stages"]["full_fwd_vjp"]["time_s"]
         report["solves_per_sec"] = args.w / dt
-        print(f"# solves/s (fwd+vjp): {args.w / dt:.1f}", flush=True)
+        print(f"# solves/s (fwd+vjp, amortized): {args.w / dt:.1f}",
+              flush=True)
 
     if args.json:
         with open(args.json, "w") as f:
