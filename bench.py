@@ -309,7 +309,7 @@ def _checksum(out):
     return float(total)
 
 
-AMORT_K = 4
+AMORT_K = 8
 
 
 def _amortized(fn, inputs):

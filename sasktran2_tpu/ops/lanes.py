@@ -325,6 +325,7 @@ def _lane_jacobi_scan_impl(a, sweeps=None):
     if (
         a.ndim == 4
         and a.dtype == jnp.float32
+        and npad <= 32  # VMEM: ~12 x n^2 x 128-lane f32 buffers
         and not os.environ.get("SASKTRAN2_TPU_NO_PALLAS")
         and jax.default_backend() == "tpu"
     ):
@@ -446,8 +447,10 @@ def _thomas_broadcast(lower, diag, upper, rhs):
 
 def _pallas_thomas_ok(di, r):
     """The Pallas streaming kernel applies on the TPU backend for plain
-    f32 [P, K, K, W] solves (no extra batch dims). Kill switch:
-    SASKTRAN2_TPU_NO_PALLAS=1."""
+    f32 [P, K, K, W] solves (no extra batch dims) with K <= 40 — above
+    that (e.g. the polarized nstr=16 blocks at K=48) the double-buffered
+    [K, K, 128] stream buffers outgrow VMEM and the scan path is used.
+    Kill switch: SASKTRAN2_TPU_NO_PALLAS=1."""
     import os
 
     if os.environ.get("SASKTRAN2_TPU_NO_PALLAS"):
@@ -455,6 +458,7 @@ def _pallas_thomas_ok(di, r):
     return (
         di.ndim == 4
         and r.ndim == 3
+        and di.shape[-2] <= 40
         and di.dtype == jnp.float32
         and jax.default_backend() == "tpu"
     )

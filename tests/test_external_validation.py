@@ -87,13 +87,20 @@ def test_korkin_rayleigh_slab_so_vs_do():
 
 
 def test_korkin_rayleigh_slab_polarized_dolp():
-    """Polarized variant: the conservative Rayleigh slab at vza ~ 41 deg
-    near the principal plane produces a strongly polarized sky with
-    Q < 0 (scattering-angle ~ 139 deg => polarization perpendicular to
-    the scattering plane) and U ~ 0 by symmetry."""
+    """Polarized variant AT 16 STREAMS through the wavelength-minor
+    vector fast path (the round-3 nstr=8 fallback existed only because
+    the GENERIC polarized 16-stream graph was compile-prohibitive on the
+    CPU test backend; the fast path has no such problem). The slab at
+    vza ~ 41 deg near the principal plane produces a strongly polarized
+    sky with Q < 0 (scattering angle ~ 139 deg => polarization
+    perpendicular to the scattering plane) and U ~ 0 by symmetry; the
+    nstr=16 Stokes vector must also match the nstr=8 converged value
+    (the slab needs only l <= 2 moments, so stream count is converged
+    well below 8)."""
     e_v, a_v = _korkin_scenario(
-        sk.MultipleScatterSource.DiscreteOrdinates, num_stokes=3, nstr=8
+        sk.MultipleScatterSource.DiscreteOrdinates, num_stokes=3, nstr=16
     )
+    assert e_v._polarized_fast_ok()
     rad = e_v.calculate_radiance(a_v)["radiance"].to_numpy()[0, 0]
     i, q, u = rad
     assert i > 0
@@ -101,6 +108,15 @@ def test_korkin_rayleigh_slab_polarized_dolp():
     assert 0.1 < dolp < 0.7
     # principal-plane symmetry: |U| << |Q|
     assert abs(u) < 0.05 * abs(q)
+
+    e_8, a_8 = _korkin_scenario(
+        sk.MultipleScatterSource.DiscreteOrdinates, num_stokes=3, nstr=8
+    )
+    rad8 = e_8.calculate_radiance(a_8)["radiance"].to_numpy()[0, 0]
+    np.testing.assert_allclose(rad, rad8, rtol=2e-3,
+                               atol=1e-5 * abs(rad8[0]))
+    dolp8 = np.hypot(rad8[1], rad8[2]) / rad8[0]
+    np.testing.assert_allclose(dolp, dolp8, rtol=2e-3)
 
 
 needs_zawada = pytest.mark.skipif(
