@@ -419,12 +419,15 @@ CASES = {
     "16str_1k": (lambda: _case_nstream_minor(16, 1024), 480),
     "16str_512": (lambda: _case_nstream_minor(16, 512), 480),
     "16str_256": (lambda: _case_nstream_minor(16, 256), 420),
-    "40str_200lyr_128": (lambda: _case_nstream_200lyr(40, 128), 900),
-    "40str_200lyr_64": (lambda: _case_nstream_200lyr(40, 64), 700),
+    # the 40-stream and polarized-16 cold compiles exceeded 900 s through
+    # the device tunnel in round 5 — generous timeouts; warm-cache runs
+    # take seconds
+    "40str_200lyr_128": (lambda: _case_nstream_200lyr(40, 128), 2400),
+    "40str_200lyr_64": (lambda: _case_nstream_200lyr(40, 64), 1800),
     "pol3_4str_1k": (lambda: _case_polarized_minor(4, 1024), 480),
     "pol3_4str_256": (lambda: _case_polarized_minor(4, 256), 420),
-    "pol3_16str_256": (lambda: _case_polarized_minor(16, 256), 900),
-    "pol3_16str_128": (lambda: _case_polarized_minor(16, 128), 700),
+    "pol3_16str_256": (lambda: _case_polarized_minor(16, 256), 2400),
+    "pol3_16str_128": (lambda: _case_polarized_minor(16, 128), 1800),
     "16str_limb_256": (lambda: _case_engine_limb16(256), 900),
     "16str_limb_128": (lambda: _case_engine_limb16(128), 700),
 }
