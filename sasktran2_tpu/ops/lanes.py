@@ -111,13 +111,26 @@ def lane_solve_upper(u, b):
 
 
 def lane_gauss_solve(a, b):
-    """Batched small-matrix solve by unrolled Gauss-Jordan elimination
-    without pivoting, lane-minor: a [..., K, K, W], b [..., K, M, W].
+    """Batched small-matrix solve, lane-minor: a [..., K, K, W],
+    b [..., K, M, W].
 
-    Same well-scaled-BVP assumption as ``linalg.gauss_solve`` (guarded by
-    the brute-force oracle tests).
+    K <= 24: unrolled Gauss-Jordan elimination without pivoting (same
+    well-scaled-BVP assumption as ``linalg.gauss_solve``, guarded by the
+    brute-force oracle tests). Larger K (the nstr=40 scalar and
+    polarized nstr>=16 BVP blocks): the unrolled form emits O(K) large
+    dynamic-update-slices per solve, which at K=40-48 inside the Thomas
+    scan made the XLA TPU compile blow host memory (round-5: the axon
+    compile helper died with SIGKILL) — and at that size the lane-minor
+    layout has no register-tiling advantage left, so the solve runs as a
+    transposed batched ``jnp.linalg.solve`` (pivoted LU, compact HLO)
+    instead.
     """
     K = a.shape[-2]
+    if K > 24:
+        at = jnp.moveaxis(a, -1, -3)        # [..., W, K, K]
+        bt = jnp.moveaxis(b, -1, -3)        # [..., W, K, M]
+        xt = jnp.linalg.solve(at, bt)
+        return jnp.moveaxis(xt, -3, -1)
     for i in range(K):
         inv_p = 1.0 / a[..., i, i, :]
         row_a = a[..., i, None, :, :] * inv_p[..., None, None, :]
@@ -447,10 +460,12 @@ def _thomas_broadcast(lower, diag, upper, rhs):
 
 def _pallas_thomas_ok(di, r):
     """The Pallas streaming kernel applies on the TPU backend for plain
-    f32 [P, K, K, W] solves (no extra batch dims) with K <= 40 — above
-    that (e.g. the polarized nstr=16 blocks at K=48) the double-buffered
-    [K, K, 128] stream buffers outgrow VMEM and the scan path is used.
-    Kill switch: SASKTRAN2_TPU_NO_PALLAS=1."""
+    f32 [P, K, K, W] solves (no extra batch dims) with K <= 24: at K=40
+    (the nstr=40 BVP) the fully unrolled K-pivot Gauss elimination made
+    the Mosaic compile blow host memory (the axon compile helper died
+    with SIGKILL, round-5 measurement), and the polarized nstr=16 blocks
+    at K=48 would additionally outgrow VMEM — those shapes keep the scan
+    path. Kill switch: SASKTRAN2_TPU_NO_PALLAS=1."""
     import os
 
     if os.environ.get("SASKTRAN2_TPU_NO_PALLAS"):
@@ -458,7 +473,7 @@ def _pallas_thomas_ok(di, r):
     return (
         di.ndim == 4
         and r.ndim == 3
-        and di.shape[-2] <= 40
+        and di.shape[-2] <= 24
         and di.dtype == jnp.float32
         and jax.default_backend() == "tpu"
     )
