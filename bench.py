@@ -406,7 +406,16 @@ def _case_polarized_minor(nstr, W):
 
 def _case_nstream_200lyr(nstr, W):
     """BASELINE.md flagship anchor shape: 200 layers, 40 streams, full
-    Jacobians (reference: 3.61 s/solve on one CPU thread)."""
+    Jacobians (reference: 3.61 s/solve on one CPU thread).
+
+    Runs with the Pallas kernels disabled: at nstr=40 the n=20 Jacobi
+    kernel inflated the XLA TPU compile past the compile helper's memory
+    (SIGKILL, round-5 measurement); the scan formulation compiles —
+    slowly (~1 h cold through the tunnel, hence the persistent cache and
+    the generous case timeout) but reliably."""
+    import os
+
+    os.environ["SASKTRAN2_TPU_NO_PALLAS"] = "1"
     return _case_lane(lambda w: _build_nstream_minor(nstr, w, P=200), W)
 
 

@@ -191,20 +191,37 @@ def test_bench_gate(tmp_path):
     sys.path.insert(0, str(TOOLS.parent))
     import bench_gate
 
+    import json
+
+    import pytest
+
     base = {"metric": "m", "value": 100.0,
             "extra": {"solves_per_sec_16stream_jac": 50.0,
                       "batch_16str": 1024}}
     worse = {"metric": "m", "value": 90.0,
              "extra": {"solves_per_sec_16stream_jac": 55.0,
-                       "batch_16str": 512}}
+                       "batch_16str": 1024}}
     pb = tmp_path / "base.json"
     pc = tmp_path / "cont.json"
-    pb.write_text(__import__("json").dumps(base))
-    pc.write_text(__import__("json").dumps(worse))
+    pb.write_text(json.dumps(base))
+    pc.write_text(json.dumps(worse))
     regressions, improvements = bench_gate.gate(pb, pc, factor=1.05)
     assert [r[0] for r in regressions] == ["value"]
     assert [i[0] for i in improvements] == [
         "extra.solves_per_sec_16stream_jac"
     ]
-    # batch sizes are bookkeeping, never gated
+    # batch sizes are bookkeeping, never gated as throughput
     assert all("batch" not in n for n, *_ in regressions + improvements)
+
+    # differing fallback batches must REFUSE the comparison (a round
+    # that fell back to a smaller wavelength batch cannot pass the gate
+    # against a full-batch round on a noise margin) unless explicitly
+    # overridden
+    shrunk = dict(worse)
+    shrunk["extra"] = dict(worse["extra"], batch_16str=512)
+    pc.write_text(json.dumps(shrunk))
+    with pytest.raises(bench_gate.BatchMismatch):
+        bench_gate.gate(pb, pc, factor=1.05)
+    regressions, _ = bench_gate.gate(pb, pc, factor=1.05,
+                                     allow_batch_mismatch=True)
+    assert [r[0] for r in regressions] == ["value"]
