@@ -428,15 +428,22 @@ CASES = {
     "16str_1k": (lambda: _case_nstream_minor(16, 1024), 480),
     "16str_512": (lambda: _case_nstream_minor(16, 512), 480),
     "16str_256": (lambda: _case_nstream_minor(16, 256), 420),
-    # the 40-stream and polarized-16 cold compiles exceeded 900 s through
-    # the device tunnel in round 5 — generous timeouts; warm-cache runs
-    # take seconds
-    "40str_200lyr_128": (lambda: _case_nstream_200lyr(40, 128), 2400),
-    "40str_200lyr_64": (lambda: _case_nstream_200lyr(40, 64), 1800),
+    # 40-stream: the XLA TPU compile of the 200-layer/40-stream
+    # Jacobian graph kills this environment's remote compile helper with
+    # SIGKILL (host OOM) after ~30-65 min, with or without the Pallas
+    # kernels (three independent round-5 attempts). The case stays —
+    # on an environment whose compile host has the memory it will run
+    # and cache — but with timeouts sized so a failing compile cannot
+    # eat the whole bench budget. nstr=40 correctness is covered by the
+    # CPU suite (expm oracle) and docs/book/nstr_sweep.md.
+    "40str_200lyr_128": (lambda: _case_nstream_200lyr(40, 128), 600),
+    "40str_200lyr_64": (lambda: _case_nstream_200lyr(40, 64), 480),
     "pol3_4str_1k": (lambda: _case_polarized_minor(4, 1024), 480),
     "pol3_4str_256": (lambda: _case_polarized_minor(4, 256), 420),
+    # polarized-16 cold compile took ~40 min through the tunnel (it
+    # succeeded and is cached in .bench_jax_cache); generous timeout
     "pol3_16str_256": (lambda: _case_polarized_minor(16, 256), 2400),
-    "pol3_16str_128": (lambda: _case_polarized_minor(16, 128), 1800),
+    "pol3_16str_128": (lambda: _case_polarized_minor(16, 128), 1200),
     "16str_limb_256": (lambda: _case_engine_limb16(256), 900),
     "16str_limb_128": (lambda: _case_engine_limb16(128), 700),
 }
