@@ -436,8 +436,8 @@ CASES = {
     # and cache — but with timeouts sized so a failing compile cannot
     # eat the whole bench budget. nstr=40 correctness is covered by the
     # CPU suite (expm oracle) and docs/book/nstr_sweep.md.
-    "40str_200lyr_128": (lambda: _case_nstream_200lyr(40, 128), 600),
-    "40str_200lyr_64": (lambda: _case_nstream_200lyr(40, 64), 480),
+    "40str_200lyr_128": (lambda: _case_nstream_200lyr(40, 128), 480),
+    "40str_200lyr_64": (lambda: _case_nstream_200lyr(40, 64), 360),
     "pol3_4str_1k": (lambda: _case_polarized_minor(4, 1024), 480),
     "pol3_4str_256": (lambda: _case_polarized_minor(4, 256), 420),
     # polarized-16 cold compile took ~40 min through the tunnel (it
