@@ -81,6 +81,12 @@ def gate(base_path, contender_path, factor=1.05,
             continue
         if "batch" in name or "vs_baseline" in name or "pct" in name:
             continue
+        if ".flops." in name:
+            # cost-analysis telemetry, not a throughput target: XLA's
+            # flop count cannot see inside Pallas custom calls, so the
+            # round-5 kernels made reported GFLOP/s drop while actual
+            # solves/s rose 2-4x — gating it would punish real speedups
+            continue
         c = cont[name]
         ratio = c / b
         if ratio < 1.0 / factor:
