@@ -26,6 +26,15 @@ def test_quickstart_executes():
     assert wf.ndim == 4 and wf.shape[1] == 3  # (alt, wavelength, los, stokes)
 
 
+def test_example_limb_ozone_wf_executes():
+    """The worked retrieval example runs end-to-end, including its own
+    error-reduction asserts (one Gauss-Newton step on the analytic
+    Jacobian recovers the sensed altitudes)."""
+    blocks = _python_blocks(DOCS / "examples" / "limb_ozone_wf.md")
+    assert len(blocks) == 1
+    exec(blocks[0], {})  # noqa: S102
+
+
 def test_docs_pages_reference_real_symbols():
     """Every `sasktran2_tpu.<attr>` / `sk.<attr>` mention in the user's
     guide resolves on the package — docs cannot name symbols that don't
