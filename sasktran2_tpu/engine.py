@@ -1779,6 +1779,12 @@ class Engine:
             # trim the shard padding on every wavelength-leading output
             full = full[:W_in]
             grads = {k: v[:W_in] for k, v in grads.items()}
+        # ONE device->host fetch for radiance + every gradient block: each
+        # separate fetch through the device tunnel costs a ~30 ms round
+        # trip, so fetching full + 5 grads individually spent ~5 extra
+        # round trips per call (~60% of the engine-path per-call time at
+        # W=1024 in the round-5 profile)
+        full, grads = jax.device_get((full, grads))
         full = np.asarray(full)
         if _LOG.isEnabledFor(logging.DEBUG):
             _LOG.debug(
