@@ -1783,7 +1783,12 @@ class Engine:
         # separate fetch through the device tunnel costs a ~30 ms round
         # trip, so fetching full + 5 grads individually spent ~5 extra
         # round trips per call (~60% of the engine-path per-call time at
-        # W=1024 in the round-5 profile)
+        # W=1024 in the round-5 profile). device_get alone still
+        # materializes leaves sequentially — start every D2H copy first
+        # so the transfers overlap.
+        for _leaf in jax.tree_util.tree_leaves((full, grads)):
+            if hasattr(_leaf, "copy_to_host_async"):
+                _leaf.copy_to_host_async()
         full, grads = jax.device_get((full, grads))
         full = np.asarray(full)
         if _LOG.isEnabledFor(logging.DEBUG):
